@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator registers a `queries` entry; every
+  * ANSI-SQL-expressible one also registers a DuckDB oracle with identical
+  * output column names + ORDER BY (the driver sorts columns by name and
+  * hashes values, so aliases must match exactly on both sides).
+  */
 object SparkEntry {
+
+  /** The §2 catalog, merged. Modules keep their QueryDefs next to the
+    * operator code so Spark + oracle stay in sync.
+    */
+  private lazy val catalog: Map[String, QueryDef] =
+    operators.RefQueries.defs ++
+      operators.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    catalog("ref_sales_by_country").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, v) => k -> v.build }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }
