@@ -16,7 +16,8 @@ object SparkEntry {
     */
   private lazy val catalog: Map[String, QueryDef] =
     operators.RefQueries.defs ++
-      operators.Relational.defs
+      operators.Relational.defs ++
+      ingest.IngestQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,143 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's four Firehose→Lambda fan-out transformations,
+  * re-expressed as pure `DataFrame => DataFrame` projections so they
+  * compose identically under batch and Structured Streaming, stay
+  * shuffle-free (narrow maps), and run inside WholeStageCodegen.
+  *
+  * Each mirrors one Lambda:
+  *  - orders:            lambda_orders_transformation/lambda_function.py:24-42
+  *  - productDetails:    lambda_product_details_tranformation/lambda_function.py:33-49
+  *  - purchaseDetails:   lambda_purchase_details_transformation/lambda_function.py:31-39
+  *  - shippingAddresses: lambda_shipping_addresses_transformation/lambda_function.py:25-41
+  */
+object Fanout {
+
+  /** ISO-8601-with-Z string → timestamp (the lambdas'
+    * `datetime.fromisoformat(order_date.rstrip("Z"))`).
+    */
+  private def eventTs = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+
+  /** orders stream: 4-column projection, order_date collapsed to a DATE
+    * (`lambda_orders_transformation:31` `event_timestamp.date().isoformat()`).
+    */
+  def orders(events: DataFrame): DataFrame =
+    events.select(
+      col("customer_id"),
+      col("order_id"),
+      eventTs.cast("date").as("order_date"),
+      col("status"))
+
+  /** product_details stream: explode the array — one row per product —
+    * and flatten `item_details` (`lambda_product_details_tranformation:33-44`
+    * loops `enumerate(product_details)`; `line_number` carries that index).
+    */
+  def productDetails(events: DataFrame): DataFrame =
+    events.select(col("order_id"),
+      explode(col("product_details")).as("pd"))
+      .select(
+        col("pd.product_id").as("product_id"),
+        col("order_id"),
+        col("pd.name").as("name"),
+        col("pd.quantity").as("quantity"),
+        col("pd.line_number").as("line_number"),
+        col("pd.item_details.color").as("color"),
+        col("pd.item_details.size").as("size"))
+
+  /** purchase_details stream: flatten the purchase struct
+    * (`lambda_purchase_details_transformation:31-39`).
+    */
+  def purchaseDetails(events: DataFrame): DataFrame =
+    events.select(
+      col("order_id"),
+      col("purchaise_details.payment_type").as("payment_type"),
+      col("purchaise_details.amount").as("amount"),
+      col("purchaise_details.currency").as("currency"),
+      col("purchaise_details.instalments").as("instalments"))
+
+  /** shipping_addresses stream: flatten the address struct
+    * (`lambda_shipping_addresses_transformation:31-39`).
+    */
+  def shippingAddresses(events: DataFrame): DataFrame =
+    events.select(
+      col("order_id"),
+      col("shipping_address.country").as("country"),
+      col("shipping_address.state").as("state"),
+      col("shipping_address.city").as("city"),
+      col("shipping_address.street").as("street"),
+      col("shipping_address.zip").as("zip"))
+
+  /** Firehose dynamic-partitioning keys (every lambda's `partitionKeys`):
+    * zero-padded year/month/day/hour derived from the event timestamp.
+    * These become `partitionBy` columns at the sink — low-cardinality
+    * time keys, NOT customer_id (file-count explosion at 100 TB; see
+    * SURVEY §5).
+    */
+  def withPartitionKeys(df: DataFrame, ts: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("year", date_format(ts, "yyyy"))
+      .withColumn("month", date_format(ts, "MM"))
+      .withColumn("day", date_format(ts, "dd"))
+      .withColumn("hour", date_format(ts, "HH"))
+}
+
+/** Reconstructs the producer's nested order document
+  * (`python_producer.py:56-100`) from the flat test star schema, so the
+  * codec + fan-out path is exercised on real nested/array data:
+  * one document per order, `product_details` collected from its
+  * lineitems, address fields from customer⋈nation.
+  *
+  * The only shuffle is the `collect_list` aggregation on the natural key
+  * `o_orderkey`; dims broadcast.
+  */
+object SyntheticOrders {
+
+  def nested(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+
+    val products = li.select(
+      col("l_orderkey"),
+      struct(
+        concat(lit("p"), col("l_partkey")).as("product_id"),
+        concat(lit("part_"), col("l_partkey")).as("name"),
+        col("l_quantity").cast("int").as("quantity"),
+        col("l_linenumber").as("line_number"),
+        struct(
+          col("l_returnflag").as("color"),
+          col("l_linestatus").as("size")).as("item_details")).as("pd"))
+      .groupBy("l_orderkey")
+      // deterministic array order: sort the collected list by line_number
+      .agg(array_sort(collect_list(col("pd")),
+        (a, b) => a.getField("line_number") - b.getField("line_number"))
+        .as("product_details"))
+
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(products, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("user"), col("o_custkey")).as("customer_id"),
+        concat(lit("o"), col("o_orderkey")).as("order_id"),
+        concat(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+          .as("order_date"),
+        col("o_orderstatus").as("status"),
+        struct(
+          col("c_name").as("street"),
+          concat(lit("city"), col("c_nationkey")).as("city"),
+          col("c_mktsegment").as("state"),
+          lpad(col("o_custkey").cast("string"), 5, "0").as("zip"),
+          col("n_name").as("country")).as("shipping_address"),
+        struct(
+          col("o_orderpriority").as("payment_type"),
+          col("o_totalprice").as("amount"),
+          lit("USD").as("currency"),
+          (pmod(col("o_orderkey"), lit(12)) + 1).cast("int").as("instalments"))
+          .as("purchaise_details"),
+        col("product_details"))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.ingest
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Oracle-checked catalog entries for the ingestion surface (SURVEY §2 A).
+  *
+  * Each query rebuilds the producer's nested document from the flat test
+  * tables (`SyntheticOrders.nested`), pushes it through the codec and/or
+  * one fan-out transform, and lands on a flat result whose semantics are
+  * re-expressible as plain SQL over the base tables — that flat SQL is
+  * the DuckDB oracle. So the oracle checks the WHOLE path:
+  * nested-build → (base64 JSON round trip) → explode/flatten → project.
+  */
+object IngestQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A1 — full wire-format round trip: nested doc → to_json → base64 →
+    // unbase64 → from_json(schema) → project across all three nesting
+    // levels (top field, struct field, array element field).
+    "ingest_decode" -> QueryDef(
+      (s, d) => {
+        val decoded = EventCodec.decode(EventCodec.encode(SyntheticOrders.nested(s, d)))
+        decoded.select(
+          col("order_id"),
+          col("status"),
+          round(col("purchaise_details.amount"), 4).as("amount"),
+          size(col("product_details")).as("n_products"))
+          .orderBy("order_id")
+      },
+      """SELECT concat('o', o_orderkey) AS order_id,
+                o_orderstatus AS status,
+                round(o_totalprice, 4) AS amount,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)::INT
+                  AS n_products
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY order_id"""),
+
+    // A2 — JSON field extraction from string payloads (`events.props`).
+    "ingest_json_props" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      """SELECT event_type,
+                CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    // A3 — orders fan-out: 4-column projection + ISO-ts→DATE collapse.
+    "fanout_orders" -> QueryDef(
+      (s, d) =>
+        Fanout.orders(SyntheticOrders.nested(s, d))
+          .orderBy("order_id"),
+      """SELECT concat('user', o_custkey) AS customer_id,
+                concat('o', o_orderkey) AS order_id,
+                CAST(o_orderdate AS DATE) AS order_date,
+                o_orderstatus AS status
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY order_id"""),
+
+    // A4 — product_details fan-out: array explode + struct flatten. One
+    // output row per lineitem of each order — the oracle is the flat
+    // lineitem projection.
+    "fanout_products" -> QueryDef(
+      (s, d) =>
+        Fanout.productDetails(SyntheticOrders.nested(s, d))
+          .orderBy("order_id", "line_number"),
+      """SELECT concat('p', l_partkey) AS product_id,
+                concat('o', l_orderkey) AS order_id,
+                concat('part_', l_partkey) AS name,
+                CAST(l_quantity AS INT) AS quantity,
+                l_linenumber AS line_number,
+                l_returnflag AS color,
+                l_linestatus AS size
+         FROM lineitem
+         ORDER BY order_id, line_number"""),
+
+    // A5 — purchase_details fan-out: struct flatten.
+    "fanout_purchases" -> QueryDef(
+      (s, d) =>
+        Fanout.purchaseDetails(SyntheticOrders.nested(s, d))
+          .withColumn("amount", round(col("amount"), 4))
+          .orderBy("order_id"),
+      """SELECT concat('o', o_orderkey) AS order_id,
+                o_orderpriority AS payment_type,
+                round(o_totalprice, 4) AS amount,
+                'USD' AS currency,
+                CAST(o_orderkey % 12 + 1 AS INT) AS instalments
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY order_id"""),
+
+    // A6 — shipping_addresses fan-out: struct flatten (address fields
+    // synthesized from customer⋈nation).
+    "fanout_addresses" -> QueryDef(
+      (s, d) =>
+        Fanout.shippingAddresses(SyntheticOrders.nested(s, d))
+          .orderBy("order_id"),
+      """SELECT concat('o', o_orderkey) AS order_id,
+                n_name AS country,
+                c_mktsegment AS state,
+                concat('city', c_nationkey) AS city,
+                c_name AS street,
+                lpad(CAST(o_custkey AS VARCHAR), 5, '0') AS zip
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY order_id"""),
+
+    // A7 — Firehose dynamic-partition key derivation: zero-padded
+    // year/month/day/hour columns, aggregated to partition file counts
+    // (exactly what the sink's directory layout would be).
+    "partition_keys" -> QueryDef(
+      (s, d) =>
+        Fanout.withPartitionKeys(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderdate"))
+          .groupBy("year", "month")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("year", "month"),
+      """SELECT strftime(o_orderdate, '%Y') AS year,
+                strftime(o_orderdate, '%m') AS month,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1, 2 ORDER BY year, month"""),
+
+    // A9 — DynamoDB latest-per-key upsert view
+    // (`lambda_kinesis_consumer:33-48` put_item = last write wins):
+    // arg-max by arrival order (event_id) per key. One shuffle on the
+    // key; at 100 TB this is the standard dedup-by-key pattern.
+    "latest_per_key" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+        Tables.events(s, d)
+          .select("user_id", "event_id", "event_type", "value")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id"""))
+}
