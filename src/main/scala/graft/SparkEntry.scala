@@ -17,6 +17,8 @@ object SparkEntry {
   private lazy val catalog: Map[String, QueryDef] =
     operators.RefQueries.defs ++
       operators.Relational.defs ++
+      operators.TimeOps.defs ++
+      operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

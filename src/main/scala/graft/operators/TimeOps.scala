@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Time-series operators Spark lacks as single built-ins, composed from
+  * window functions so they stay one-shuffle-per-key at any scale
+  * (SURVEY §2 C13–C15).
+  */
+object TimeOps {
+
+  /** As-of join via the union+window trick: tag both sides, union, then
+    * `last(right, ignoreNulls)` over a key-partitioned window ordered by
+    * `(ts, side)` — each left row picks the most recent right row with
+    * `right.ts <= left.ts` for the same key.
+    *
+    * Scale: ONE shuffle (on the key), no inequality-join pair explosion
+    * — the alternative `l JOIN r ON key AND r.ts <= l.ts` + argmax
+    * materializes O(matches²) pairs per key before pruning. This stays
+    * linear in rows per key and sorts within partitions.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(rightPayload.map(col).toIndexedSeq: _*)
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select((Seq(col(key), col(ts)) :+ payload.as("_rp")).toIndexedSeq: _*)
+      .withColumn("_side", lit(0))
+    // unionByName fills each side's missing columns with nulls
+    val unified = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unified
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    rightPayload.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col(s"_match.$c"))
+    }.drop("_side", "_rp", "_match")
+  }
+
+  /** Gap-based sessionization: a new session starts when the same key is
+    * idle longer than `gap`. Two windows over one key-shuffle: lag() to
+    * flag session starts, running sum to assign session ids.
+    */
+  def sessionize(events: DataFrame, key: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("event_id").asc)
+    events
+      .withColumn("_prev", lag(col(ts), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull, 1)
+          .when(unix_micros(col(ts)) - unix_micros(col("_prev")) >
+            gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new_session")
+  }
+
+  private def eventsByType(s: org.apache.spark.sql.SparkSession, d: String,
+      tpe: String): DataFrame =
+    Tables.events(s, d).filter(col("event_type") === tpe)
+      .select("event_id", "ts", "user_id", "value")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // C13 — sessionization, aggregated to per-session stats.
+    "sessionize" -> QueryDef(
+      (s, d) =>
+        sessionize(Tables.events(s, d)
+          .select("user_id", "event_id", "ts", "value"),
+          "user_id", "ts", gapSeconds = 1800)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"),
+            max("ts").as("session_end"),
+            round(sum("value"), 4).as("session_value"))
+          .orderBy("user_id", "session_id"),
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                            > 1800 * 1000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""),
+
+    // C14 — as-of join: each purchase event picks the same user's most
+    // recent click at-or-before it.
+    "asof_join" -> QueryDef(
+      (s, d) =>
+        asOfJoin(
+          left = eventsByType(s, d, "purchase")
+            .withColumnRenamed("event_id", "purchase_id")
+            .withColumnRenamed("value", "purchase_value")
+            .select("user_id", "ts", "purchase_id", "purchase_value"),
+          right = eventsByType(s, d, "click")
+            .withColumnRenamed("event_id", "click_id")
+            .select(col("user_id"), col("ts"), col("click_id"),
+              col("value").as("click_value")),
+          key = "user_id", ts = "ts",
+          rightPayload = Seq("click_id", "click_value"))
+          .select("user_id", "purchase_id", "click_id",
+            "purchase_value", "click_value")
+          .orderBy("purchase_id"),
+      """SELECT p.user_id, p.event_id AS purchase_id,
+                c.click_id, p.value AS purchase_value, c.click_value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_id AS click_id, value AS click_value
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY purchase_id"""))
+
+  /** C15 — HLL approximate distinct: cross-engine sketch values differ by
+    * construction, so this registers rows-only (spec asserts <5% error vs
+    * exact).
+    */
+  val approxDefs: Map[String, QueryDef] = Map(
+    "approx_users" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      None))
+}
