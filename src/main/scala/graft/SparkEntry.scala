@@ -19,7 +19,10 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
-      ingest.IngestQueries.defs
+      ingest.IngestQueries.defs ++
+      dedup.Dedup.defs ++
+      similarity.Knn.defs ++
+      text.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,202 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashOps, VectorOps}
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators for LLM-training-data curation (SURVEY §2 D1–D5).
+  *
+  * Scale discipline: NOTHING here is globally O(n²). Every near-dup
+  * operator first maps each document to a small set of join keys
+  * (shingles, LSH bands, simhash bands, labels) and only compares within
+  * key groups — candidate generation is a single shuffle on the key, and
+  * verification touches candidate pairs only.
+  */
+object Dedup {
+
+  /** tokens + distinct 3-gram word shingles, shared by the text dedups. */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles",
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))))
+
+  /** D2 core — exact Jaccard near-dup pairs via a shingle inverted
+    * index: explode distinct shingles, self-join on shingle, count
+    * common per pair, filter by Jaccard. At 100 TB add a
+    * document-frequency cap on shingles (drop shingles present in >0.1%
+    * of docs) to bound the inverted-list length; the test corpus has no
+    * such hot shingles so the semantic here stays exact.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = withShingles(docs)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** D3 — MinHash+LSH candidate pairs, then exact-Jaccard verification.
+    * 128-hash signatures, 32 bands × 4 rows: P(candidate) ≈
+    * 1-(1-j⁴)³² — ~0.87 at j=0.5, ~1.0 at j≥0.8. Verification joins
+    * the shingle arrays back only for candidates.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    val sig = sh.withColumn("sig", HashOps.minhash(col("shingles"), numHashes))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** D4 — SimHash near-dup: 64-bit signature, 4 bands of 16 bits for
+    * candidate generation (any pair within hamming distance 3 shares at
+    * least one intact band), verified with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), HashOps.simhash(col("toks")).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** D5 core — embedding near-dup within a blocking key (here the class
+    * label; at 100 TB the block is an LSH bucket — see
+    * similarity.Knn.lshCandidates). Cosine via the native codegen
+    * expression.
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** DuckDB-side exact-double cosine (matches the Spark expression's
+    * arithmetic order bit-for-bit; the builtin list_cosine_similarity
+    * accumulates in float32 and diverges at ~1e-7).
+    */
+  private[graft] def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D1 — exact dedup by content hash: one hash-shuffle, keep the
+    // smallest doc_id per group, report only actual duplicate groups.
+    "dedup_exact" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keep_id"),
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY md5(text) HAVING count(*) > 1
+         ORDER BY keep_id"""),
+
+    // D2 — blocked exact n-gram Jaccard (threshold 0.5).
+    "dedup_ngram" -> QueryDef(
+      (s, d) =>
+        ngramJaccardPairs(Tables.documents(s, d), 0.5)
+          .orderBy("doc_a", "doc_b"),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(common * 1.0 / (na + nb - common), 4) AS jaccard
+         FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+         ORDER BY doc_a, doc_b"""),
+
+    // D3 — MinHash LSH (rows-only: hash permutations are not
+    // SQL-portable; spec checks recall vs dedup_ngram).
+    "dedup_minhash" -> QueryDef(
+      (s, d) => minhashPairs(Tables.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // D4 — SimHash (rows-only; spec checks hamming properties).
+    "dedup_simhash" -> QueryDef(
+      (s, d) => simhashPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // D5 — embedding cosine near-dup, label-blocked.
+    "dedup_embedding" -> QueryDef(
+      (s, d) =>
+        embeddingPairs(Tables.embeddings(s, d), 0.99)
+          .orderBy("vec_a", "vec_b"),
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(${duckCosine("a.embedding", "b.embedding")}, 4) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.99
+          ORDER BY vec_a, vec_b"""))
+}

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashOps, VectorOps}
+import graft.{QueryDef, Tables}
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §2 D6–D7).
+  *
+  * Baseline: brute-force cosine of a small broadcast query set against
+  * the corpus — exact, one pass, no shuffle except the final per-query
+  * top-k. Scale path: random-hyperplane LSH bucketing — signatures
+  * computed scan-side, candidates restricted to bucket collisions across
+  * `tables` independent 8-bit views of a 32-bit signature, then exact
+  * rerank. That turns 100 TB × queries from a cross join into
+  * #tables shuffled equi-joins.
+  */
+object Knn {
+
+  /** Exact top-k: broadcast the (small) query side; per-partition cosine
+    * in codegen; TakeOrdered-style window for the top-k.
+    */
+  def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** LSH-bucketed ANN: 32-bit hyperplane signature split into `tables`
+    * bucket keys of `32/tables` bits; candidates = bucket collisions in
+    * any table, exact-cosine reranked to top-k. Fewer bits per table →
+    * higher recall, bigger buckets: 8×4 bits gives ~0.7 recall on
+    * moderate-cosine neighbors; scale the bit width with corpus size.
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 8): DataFrame = {
+    val bitsPerTable = 32 / tables
+    val mask = (1 << bitsPerTable) - 1
+    def sigd(df: DataFrame, idCol: String, embCol: String) = df
+      .withColumn("_sig", HashOps.hyperplaneSig(col(embCol), 32))
+      .select(col(idCol), col(embCol), posexplode(
+        array((0 until tables).map(t =>
+          shiftright(col("_sig"), t * bitsPerTable).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val q = sigd(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "query_id", "q_emb")
+    val c = sigd(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb")), "neighbor_id", "c_emb")
+    val cand = q.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .distinct()
+      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  private def queriesOf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D6 — exact brute-force top-3 for 10 fixed query vectors.
+    "knn_brute" -> QueryDef(
+      (s, d) =>
+        bruteForce(queriesOf(s, d), Tables.embeddings(s, d), 3)
+          .orderBy("query_id", "rank"),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${graft.dedup.Dedup.duckCosine("q.qe", "e.embedding")} AS cos
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // D7 — LSH ANN (rows-only; spec checks recall vs knn_brute).
+    "knn_lsh" -> QueryDef(
+      (s, d) =>
+        lsh(queriesOf(s, d), Tables.embeddings(s, d), 3)
+          .orderBy("query_id", "rank"),
+      None))
+}

@@ -1,0 +1,156 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashOps
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for LLM-data curation (SURVEY §2 D8–D11):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure column expressions (whole-stage codegen, trivially scan-local at
+  * 100 TB) except the fingerprint, which is a native expression.
+  *
+  * Cross-engine determinism: every floating computation is written in
+  * the same order as its DuckDB oracle (double-widen → multiply → add →
+  * round(4)), so hashes match exactly.
+  */
+object TextAnalysis {
+
+  private val toks = split(trim(col("text")), "\\s+")
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(words)))
+
+  /** Marker-token language scoring. The heuristic is the standard
+    * stopword-profile trick; markers per language are checked as whole
+    * tokens.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  def withLangId(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("_t", toks)
+      .withColumn("c_en", countIn(col("_t"), langMarkers("en")))
+      .withColumn("c_es", countIn(col("_t"), langMarkers("es")))
+      .withColumn("c_de", countIn(col("_t"), langMarkers("de")))
+      .withColumn("c_fr", countIn(col("_t"), langMarkers("fr")))
+    d.withColumn("predicted_lang",
+      when(col("c_en") + col("c_es") + col("c_de") + col("c_fr") === 0, "unknown")
+        .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") &&
+          col("c_en") >= col("c_fr"), "en")
+        .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+        .when(col("c_de") >= col("c_fr"), "de")
+        .otherwise("fr"))
+      .drop("_t")
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D10 — token counting: whitespace tokens + a BPE-ish regex
+    // tokenization (letter runs / digit runs / single other symbols).
+    "token_count" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
+          length(col("text")).as("n_chars"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS bpe_tokens,
+                length(text) AS n_chars
+         FROM documents ORDER BY doc_id"""),
+
+    // D9 — quality scoring: length prior + stopword ratio + symbol
+    // penalty, combined in a fixed-order double formula.
+    "quality_score" -> QueryDef(
+      (s, d) => {
+        val t = split(trim(col("text")), "\\s+")
+        val n = size(t).cast("double")
+        val stopRatio =
+          size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n
+        val symRatio =
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            .cast("double") / length(col("text")).cast("double")
+        val lenScore = least(n / lit(100.0), lit(1.0))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(symRatio, 4).as("symbol_ratio"),
+          round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
+            lit(0.2) * (lit(1.0) - symRatio), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      """WITH q AS (
+           SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS t,
+                  length(text) AS lc,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  len(t) AS n_tokens,
+                  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                    / CAST(len(t) AS DOUBLE) AS stop_ratio,
+                  CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE) AS sym_ratio,
+                  least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) AS len_score
+           FROM q)
+         SELECT doc_id, n_tokens,
+                round(stop_ratio, 4) AS stopword_ratio,
+                round(sym_ratio, 4) AS symbol_ratio,
+                round(0.4 * len_score + 0.4 * stop_ratio
+                      + 0.2 * (1.0 - sym_ratio), 4) AS quality
+         FROM m ORDER BY doc_id"""),
+
+    // D8 — language ID: per-language marker counts + deterministic
+    // argmax (priority en > es > de > fr on ties).
+    "lang_id" -> QueryDef(
+      (s, d) =>
+        withLangId(Tables.documents(s, d))
+          .groupBy("predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("predicted_lang"),
+      """WITH c AS (
+           SELECT doc_id,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('the','a','of'))) AS c_en,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('el','la','de'))) AS c_es,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('der','die','und'))) AS c_de,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('le','les','et'))) AS c_fr
+           FROM documents),
+         p AS (
+           SELECT CASE
+                    WHEN c_en + c_es + c_de + c_fr = 0 THEN 'unknown'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+           FROM c)
+         SELECT predicted_lang, count(*) AS n_docs
+         FROM p GROUP BY predicted_lang ORDER BY predicted_lang"""),
+
+    // D11 — winnowing fingerprints (rows-only: the rolling-hash values
+    // are not SQL-portable; spec checks shared-substring behavior).
+    "fingerprint" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            HashOps.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+            element_at(col("fp"), 1).as("min_fingerprint"))
+          .orderBy("doc_id"),
+      None))
+}

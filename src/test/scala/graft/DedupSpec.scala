@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.similarity.Knn
+
+/** Semantics checks for the sketch-based ops that have no SQL oracle:
+  * LSH families must recall the exact-computation results.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("minhash candidates recall high-jaccard exact pairs, precision 1 after verify") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes every reported pair a true >=0.5 pair
+    assert(mh.subsetOf(exact), s"false positives: ${mh -- exact}")
+    // 32x4 banding: expected recall ~0.87 at j=0.5, ~1.0 at j>=0.8
+    val strong = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strongRecall = if (strong.isEmpty) 1.0
+      else (strong & mh).size.toDouble / strong.size
+    assert(strongRecall >= 0.95, s"strong-pair recall $strongRecall")
+  }
+
+  test("simhash pairs are symmetric-free, within hamming bound, and catch exact dups") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3)
+    }
+    // exact text duplicates must have hamming 0 and therefore appear
+    val exactDups = docs.as("a").join(docs.as("b"),
+      col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDups.subsetOf(got),
+      s"missed exact dups: ${exactDups -- got}")
+  }
+
+  test("knn_lsh reranked results are a subset of brute-force with decent recall") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForce(q, embs, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Knn.lsh(q, embs, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall@3 = $recall (4 tables x 8 bits)")
+    assert(lsh.size <= brute.size)
+  }
+
+  test("fingerprints detect shared long substrings") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "PREFIX " + a + " SUFFIX" // contains a verbatim
+    val c = "completely different content with no overlap whatsoever here okay"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.HashOps.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "overlapping docs share no fingerprints")
+    assert((fps(1L) & fps(3L)).isEmpty || (fps(1L) & fps(3L)).size < fps(1L).size / 4)
+  }
+
+  test("embedding pairs: cosine is symmetric and self-cosine is 1") {
+    import graft.functions.VectorOps
+    val e = embs.limit(50)
+    val selfCos = e.select(VectorOps.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-12)
+  }
+}
