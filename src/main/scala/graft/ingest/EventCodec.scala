@@ -64,6 +64,11 @@ object EventCodec {
     * the codec and to feed the streaming ingest specs.
     */
   def encode(events: DataFrame): DataFrame =
-    events.select(base64(to_json(struct(
-      events.columns.map(col).toIndexedSeq: _*))).as("data"))
+    events.select(
+      // Spark's base64 is MIME-chunked (CRLF every 76 chars) unless the
+      // legacy conf says otherwise; the wire format (python b64encode)
+      // is continuous — strip the line breaks so one record = one line.
+      regexp_replace(
+        base64(to_json(struct(events.columns.map(col).toIndexedSeq: _*))),
+        "[\\r\\n]", "").as("data"))
 }

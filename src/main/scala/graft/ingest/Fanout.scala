@@ -24,52 +24,59 @@ object Fanout {
 
   /** orders stream: 4-column projection, order_date collapsed to a DATE
     * (`lambda_orders_transformation:31` `event_timestamp.date().isoformat()`).
+    * `passthrough` keeps already-derived columns (e.g. partition keys) —
+    * the lambdas likewise compute partitionKeys from the raw event
+    * BEFORE projecting.
     */
-  def orders(events: DataFrame): DataFrame =
+  def orders(events: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     events.select(
-      col("customer_id"),
-      col("order_id"),
-      eventTs.cast("date").as("order_date"),
-      col("status"))
+      col("customer_id") +:
+        col("order_id") +:
+        eventTs.cast("date").as("order_date") +:
+        col("status") +:
+        passthrough.map(col): _*)
 
   /** product_details stream: explode the array — one row per product —
     * and flatten `item_details` (`lambda_product_details_tranformation:33-44`
     * loops `enumerate(product_details)`; `line_number` carries that index).
     */
-  def productDetails(events: DataFrame): DataFrame =
-    events.select(col("order_id"),
-      explode(col("product_details")).as("pd"))
+  def productDetails(events: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
+    events.select(col("order_id") +: explode(col("product_details")).as("pd") +:
+        passthrough.map(col): _*)
       .select(
-        col("pd.product_id").as("product_id"),
-        col("order_id"),
-        col("pd.name").as("name"),
-        col("pd.quantity").as("quantity"),
-        col("pd.line_number").as("line_number"),
-        col("pd.item_details.color").as("color"),
-        col("pd.item_details.size").as("size"))
+        col("pd.product_id").as("product_id") +:
+          col("order_id") +:
+          col("pd.name").as("name") +:
+          col("pd.quantity").as("quantity") +:
+          col("pd.line_number").as("line_number") +:
+          col("pd.item_details.color").as("color") +:
+          col("pd.item_details.size").as("size") +:
+          passthrough.map(col): _*)
 
   /** purchase_details stream: flatten the purchase struct
     * (`lambda_purchase_details_transformation:31-39`).
     */
-  def purchaseDetails(events: DataFrame): DataFrame =
+  def purchaseDetails(events: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     events.select(
-      col("order_id"),
-      col("purchaise_details.payment_type").as("payment_type"),
-      col("purchaise_details.amount").as("amount"),
-      col("purchaise_details.currency").as("currency"),
-      col("purchaise_details.instalments").as("instalments"))
+      col("order_id") +:
+        col("purchaise_details.payment_type").as("payment_type") +:
+        col("purchaise_details.amount").as("amount") +:
+        col("purchaise_details.currency").as("currency") +:
+        col("purchaise_details.instalments").as("instalments") +:
+        passthrough.map(col): _*)
 
   /** shipping_addresses stream: flatten the address struct
     * (`lambda_shipping_addresses_transformation:31-39`).
     */
-  def shippingAddresses(events: DataFrame): DataFrame =
+  def shippingAddresses(events: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     events.select(
-      col("order_id"),
-      col("shipping_address.country").as("country"),
-      col("shipping_address.state").as("state"),
-      col("shipping_address.city").as("city"),
-      col("shipping_address.street").as("street"),
-      col("shipping_address.zip").as("zip"))
+      col("order_id") +:
+        col("shipping_address.country").as("country") +:
+        col("shipping_address.state").as("state") +:
+        col("shipping_address.city").as("city") +:
+        col("shipping_address.street").as("street") +:
+        col("shipping_address.zip").as("zip") +:
+        passthrough.map(col): _*)
 
   /** Firehose dynamic-partitioning keys (every lambda's `partitionKeys`):
     * zero-padded year/month/day/hour derived from the event timestamp.
