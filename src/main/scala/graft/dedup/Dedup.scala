@@ -15,18 +15,18 @@ import graft.{QueryDef, Tables}
   */
 object Dedup {
 
-  /** tokens + distinct 3-gram word shingles, shared by the text dedups. */
+  /** Distinct 3-gram word shingles via the native one-pass expression
+    * (`HashOps.wordShingles`) — the composed
+    * array_distinct/transform/element_at pipeline gets inlined by
+    * Catalyst into every consumer and re-evaluated through interpreted
+    * lambdas (~7× slower end-to-end on the dedup_ngram plan). Docs with
+    * fewer than 3 tokens yield an empty array; downstream explodes drop
+    * them with no separate filter (a filter would re-inline the
+    * expression).
+    */
   def withShingles(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles",
-        array_distinct(transform(
-          sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ",
-            element_at(col("toks"), i),
-            element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))))
+    docs.withColumn("shingles",
+      graft.functions.HashOps.wordShingles(col("text"), 3))
 
   /** D2 core — exact Jaccard near-dup pairs via a shingle inverted
     * index: explode distinct shingles, self-join on shingle, count
@@ -41,7 +41,11 @@ object Dedup {
         explode(col("shingles")).as("s"))
     val a = ex.as("a")
     val b = ex.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // lossless size-band prune: j = common/(na+nb-common) ≤ min(na,nb)/max(na,nb),
+    // so j ≥ t requires max ≤ min/t — pairs outside the band can't qualify
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * lit(threshold) <= col("b.n") &&
+        col("b.n") * lit(threshold) <= col("a.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))

@@ -48,6 +48,9 @@ object HashOps {
 
   def hyperplaneSig(vec: Column, bits: Int): Column =
     column(HyperplaneSignature(expression(vec), bits))
+
+  def wordShingles(text: Column, k: Int): Column =
+    column(WordShingles(expression(text), k))
 }
 
 /** array<string> shingles → array<long> of `numHashes` min-hash values.
@@ -194,6 +197,50 @@ case class HyperplaneSignature(child: Expression, bits: Int, dims: Int = 64)
       p += 1
     }
     sig
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** string → array<string> of distinct k-word shingles, one pass.
+  *
+  * Replaces the composed
+  * `array_distinct(transform(sequence(...), i -> concat_ws(element_at×k)))`
+  * pipeline, which Catalyst inlines into every consumer (filter +
+  * project + generate each re-evaluate the whole tree) and which runs
+  * through interpreted lambda machinery per element. Semantics match
+  * `split(trim(text), "\s+")` + k-gram + distinct exactly (same Java
+  * regex), so DuckDB oracles are unaffected.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = ws.split(v.asInstanceOf[UTF8String].toString.trim)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
