@@ -17,6 +17,7 @@ object SparkEntry {
   private lazy val catalog: Map[String, QueryDef] =
     operators.RefQueries.defs ++
       operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
