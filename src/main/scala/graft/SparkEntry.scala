@@ -18,6 +18,7 @@ object SparkEntry {
     operators.RefQueries.defs ++
       operators.Relational.defs ++
       operators.Relational2.defs ++
+      operators.SqlSurface.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++

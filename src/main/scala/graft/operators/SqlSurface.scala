@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, QueryDef, Tables}
+
+/** SQL-surface entries: the reference's user interface is SQL (Athena),
+  * so these run through `spark.sql` with graft's registered functions —
+  * proving the extension path end-to-end — plus argmax / array-agg
+  * coverage.
+  */
+object SqlSurface {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Native expression called from SQL text: mean intra-label cosine.
+    "sql_label_cohesion" -> QueryDef(
+      (s, d) => {
+        GraftExtensions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+        s.sql(
+          """SELECT a.label,
+                    round(avg(vec_cosine(a.embedding, b.embedding)), 4)
+                      AS mean_cosine,
+                    count(*) AS n_pairs
+             FROM embeddings_v a JOIN embeddings_v b
+               ON a.label = b.label AND a.vec_id < b.vec_id
+             GROUP BY a.label ORDER BY label""")
+      },
+      s"""SELECT a.label,
+                 round(avg(${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")}), 4)
+                   AS mean_cosine,
+                 count(*) AS n_pairs
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          GROUP BY a.label ORDER BY a.label"""),
+
+    // SQL shingling + minhash through registered functions (rows-only:
+    // hash values are engine-specific).
+    "sql_minhash" -> QueryDef(
+      (s, d) => {
+        GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_v")
+        s.sql(
+          """SELECT doc_id,
+                    size(word_shingles(text, 3)) AS n_shingles,
+                    element_at(minhash_sig(word_shingles(text, 3), 16), 1) AS mh0,
+                    simhash64(split(trim(text), '\\s+')) AS sh
+             FROM documents_v ORDER BY doc_id""")
+      },
+      None),
+
+    // argmax/argmin: the order id carrying each status's extreme price.
+    // The selector key folds the tiebreak into exact double arithmetic
+    // (price*1e9 stays integral and < 2^53) so both engines pick the
+    // same row even on price ties.
+    "argmax_order" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"),
+              col("o_totalprice") * lit(1000000000L) + col("o_orderkey"))
+              .as("max_price_order"),
+            min_by(col("o_orderkey"),
+              col("o_totalprice") * lit(1000000000L) + col("o_orderkey"))
+              .as("min_price_order"),
+            round(max("o_totalprice"), 4).as("max_price"))
+          .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+                arg_max(o_orderkey, o_totalprice * 1000000000 + o_orderkey)
+                  AS max_price_order,
+                arg_min(o_orderkey, o_totalprice * 1000000000 + o_orderkey)
+                  AS min_price_order,
+                round(max(o_totalprice), 4) AS max_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
+    // Array aggregation: sorted distinct status set per priority bucket.
+    "array_agg_statuses" -> QueryDef(
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+                list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+}
