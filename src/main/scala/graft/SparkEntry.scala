@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.SqlSurface.defs ++
+      operators.Skew.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
