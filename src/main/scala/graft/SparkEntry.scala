@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Relational2.defs ++
       operators.SqlSurface.defs ++
       operators.Skew.defs ++
+      operators.TopKOps.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++

@@ -72,6 +72,32 @@ class DedupSpec extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).isEmpty || (fps(1L) & fps(3L)).size < fps(1L).size / 4)
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = ev.agg(approx_count_distinct(col("user_id")).as("a"))
+      .head.getLong(0).toDouble
+    val exact = ev.agg(countDistinct(col("user_id")).as("e"))
+      .head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("topk aggregate equals window top-k on every group") {
+    val o = Tables.orders(spark, sf)
+    val viaAgg = SparkEntry.queries("topk_agg")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderstatus", "rk").collect().map(_.toString).toSeq
+    }
+    assert(viaAgg == viaWindow)
+  }
+
   test("embedding pairs: cosine is symmetric and self-cosine is 1") {
     import graft.functions.VectorOps
     val e = embs.limit(50)

@@ -78,6 +78,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(state("k2") == "w1")
   }
 
+  test("streaming exact dedup drops replayed records within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LatestKV.KV]
+    val q = input.toDS().toDF()
+      .dropDuplicates("key") // state-backed streaming dedup on the key
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(LatestKV.KV("a", 1, "v1"), LatestKV.KV("b", 1, "w1"))
+    q.processAllAvailable()
+    input.addData(LatestKV.KV("a", 2, "v1-replay"), LatestKV.KV("c", 1, "x1"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_stream").select("key")
+      .collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b", "c"), "replayed key must appear once")
+  }
+
   test("batch latest-per-key agrees with streaming semantics") {
     import spark.implicits._
     val ds = Seq(
