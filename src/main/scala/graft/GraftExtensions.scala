@@ -22,10 +22,13 @@ import graft.functions._
   * driver's session needs no special config).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: plans the CosineTopKPlan logical node
+    e.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
+  }
 }
 
 object GraftExtensions {

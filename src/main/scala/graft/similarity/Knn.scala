@@ -103,5 +103,30 @@ object Knn {
       (s, d) =>
         lsh(queriesOf(s, d), Tables.embeddings(s, d), 3)
           .orderBy("query_id", "rank"),
-      None))
+      None),
+
+    // D6b — same semantics as knn_brute through the custom
+    // LogicalPlan/Strategy/SparkPlan operator (plans.CosineTopK):
+    // partition-local heaps instead of a scored-pair shuffle. Cosine is
+    // rounded at 4 dp like the oracle; identical oracle as knn_brute.
+    "knn_custom" -> QueryDef(
+      (s, d) =>
+        graft.plans.CosineTopK.topK(
+          Tables.embeddings(s, d), queriesOf(s, d), 3)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("query_id", "rank"),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${graft.dedup.Dedup.duckCosine("q.qe", "e.embedding")} AS cos
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+                 round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
 }

@@ -98,6 +98,17 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("custom CosineTopK plan equals brute-force composition") {
+    val q = embs.filter(col("vec_id") < 10)
+    val custom = graft.plans.CosineTopK.topK(embs, q, 3)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Knn.bruteForce(q, embs, 3)
+      .withColumn("rank", col("rank").cast("int"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(custom == brute)
+  }
+
   test("embedding pairs: cosine is symmetric and self-cosine is 1") {
     import graft.functions.VectorOps
     val e = embs.limit(50)
