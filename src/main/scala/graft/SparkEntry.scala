@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.SqlSurface.defs ++
+      operators.TpchMore.defs ++
       operators.Skew.defs ++
       operators.TopKOps.defs ++
       operators.TimeOps.defs ++
@@ -26,6 +27,7 @@ object SparkEntry {
       ingest.IngestQueries.defs ++
       dedup.Dedup.defs ++
       similarity.Knn.defs ++
+      similarity.Ivf.defs ++
       text.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

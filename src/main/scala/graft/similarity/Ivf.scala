@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.QueryDef
+
+/** IVF (inverted-file) ANN: the classic two-stage index — a k-means
+  * coarse quantizer assigns every corpus vector to its nearest centroid
+  * ("inverted list"); a query probes only the `nprobe` nearest lists and
+  * reranks exactly inside them. At 100 TB the lists are the partition
+  * layout: assignment is a scan-side map, and each query touches
+  * nprobe/nlist of the data instead of all of it.
+  *
+  * The quantizer trains with a FIXED seed on the corpus sample (spark.ml
+  * KMeans — deterministic given seed + data), so the index is
+  * reproducible; recall vs exact brute force is spec-checked.
+  */
+object Ivf {
+
+  def index(corpus: DataFrame, nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = corpus.withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(feat)
+    val assigned = model.transform(feat)
+      .withColumnRenamed("prediction", "list_id")
+      .drop("features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe: rank centroids per query by exact cosine, take `nprobe`
+    * lists, exact-rerank within them.
+    */
+  def search(assigned: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
+      .toSeq.toDF("list_id", "center")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    // per-query probe list: nprobe nearest centroids
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(centersDf))
+      .withColumn("c_cos", VectorOps.cosine(col("q_emb"), col("center")))
+      .withColumn("c_rk", row_number().over(wq))
+      .filter(col("c_rk") <= nprobe)
+      .select("query_id", "q_emb", "list_id")
+    // rerank inside probed lists only
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("list_id")), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // D7b — IVF ANN (rows-only: k-means assignment is not SQL-portable;
+    // spec checks recall vs brute force).
+    "knn_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = graft.Tables.embeddings(s, d)
+        val (assigned, centers) = index(emb, nlist = 16)
+        search(assigned, centers, emb.filter(col("vec_id") < 10), k = 3,
+          nprobe = 4).orderBy("query_id", "rank")
+      },
+      None))
+}

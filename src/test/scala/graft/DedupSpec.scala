@@ -98,6 +98,20 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("ivf search recalls most brute-force neighbors at nprobe=4/16") {
+    val emb = embs
+    val q = emb.filter(col("vec_id") < 10)
+    val (assigned, centers) = graft.similarity.Ivf.index(emb, nlist = 16)
+    val ivf = graft.similarity.Ivf.search(assigned, centers, q, 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Knn.bruteForce(q, emb, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@3 = $recall")
+  }
+
   test("custom CosineTopK plan equals brute-force composition") {
     val q = embs.filter(col("vec_id") < 10)
     val custom = graft.plans.CosineTopK.topK(embs, q, 3)
