@@ -62,6 +62,30 @@ object IngestStream {
     * watermark are dropped instead of growing state forever — the knob
     * that makes this viable on an unbounded 100 TB/day stream.
     */
+  /** Stream-stream join: re-join two fan-out streams on order_id (the
+    * streaming analog of the reference's Athena join
+    * `OrderAndClientDetails.sql` / `TotalSalesPerCountry.sql` over the
+    * fanned-out tables). Both sides carry an event-time column +
+    * watermark so the join state is bounded: a row is dropped from state
+    * once no match can arrive anymore.
+    */
+  def joinOrdersWithAddresses(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val ts = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+    val keyed = events.withColumn("event_ts", ts)
+    val orders = Fanout.orders(keyed, Seq("event_ts"))
+      .withWatermark("event_ts", watermark)
+    val addrs = Fanout.shippingAddresses(keyed, Seq("event_ts"))
+      .withColumnRenamed("order_id", "a_order_id")
+      .withColumnRenamed("event_ts", "a_event_ts")
+      .withWatermark("a_event_ts", watermark)
+    orders.join(addrs,
+      col("order_id") === col("a_order_id") &&
+        col("a_event_ts") === col("event_ts"))
+      .select("customer_id", "order_id", "order_date", "status",
+        "country", "state", "city")
+  }
+
   def windowedVolume(events: DataFrame, watermark: String = "2 hours",
       window_ : String = "1 hour"): DataFrame =
     events

@@ -78,6 +78,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(state("k2") == "w1")
   }
 
+  test("stream-stream join re-links fanned-out orders and addresses") {
+    import java.nio.file.Files
+    val enc = EventCodec.encode(SyntheticOrders.nested(spark, sf))
+    val inDir = Files.createTempDirectory("graft-ssj-in").toString
+    enc.coalesce(1).write.mode("overwrite").text(inDir)
+    val raw = spark.readStream.text(inDir).withColumnRenamed("value", "data")
+    val joined = IngestStream.joinOrdersWithAddresses(
+      IngestStream.decodeStream(raw))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj")
+    // every order must re-link to exactly one address
+    assert(got.count() == EventCodec.decode(enc).count())
+    assert(got.filter(col("country").isNull).count() == 0)
+  }
+
   test("streaming exact dedup drops replayed records within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
