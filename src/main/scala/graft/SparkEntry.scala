@@ -26,6 +26,7 @@ object SparkEntry {
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
       dedup.Dedup.defs ++
+      dedup.Clusters.defs ++
       similarity.Knn.defs ++
       similarity.Ivf.defs ++
       text.TextAnalysis.defs

@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Duplicate-cluster resolution: near-dup PAIRS are not enough — a
+  * curation pipeline needs transitive components (a~b, b~c ⇒ {a,b,c})
+  * with one kept representative per cluster. Implemented as iterative
+  * min-label propagation over the (symmetrized) pair graph: each round
+  * is one join + one aggregate, i.e. the alternating-star family of
+  * map-reduce connected-components algorithms — rounds grow with the
+  * log of the largest component diameter, not with data size, so the
+  * same loop runs at 100 TB (duplicate clusters are shallow in
+  * practice).
+  *
+  * The driver-side loop only checks a changed-count per round (a scalar
+  * aggregate) — no data is collected.
+  */
+object Clusters {
+
+  /** edges(src,dst) → (doc_id, cluster_rep = min id reachable). Only
+    * vertices that appear in an edge are returned.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels flow along edges; keep the minimum seen
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D14 — dedup clusters over the n-gram near-dup graph: every doc in
+    // a duplicate cluster mapped to its representative (min doc_id).
+    // Oracle: transitive closure via recursive CTE — an independent
+    // formulation of the same fixpoint.
+    "dedup_clusters" -> QueryDef(
+      (s, d) =>
+        connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .orderBy("doc_id"),
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         SELECT a AS doc_id, min(b) AS cluster_rep
+         FROM reach GROUP BY a ORDER BY doc_id"""))
+}

@@ -72,6 +72,15 @@ class DedupSpec extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).isEmpty || (fps(1L) & fps(3L)).size < fps(1L).size / 4)
   }
 
+  test("connected components merges chains transitively") {
+    import spark.implicits._
+    // a-b, b-c, plus isolated pair d-e: expect {1,2,3}->1 and {8,9}->8
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val got = graft.dedup.Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val approx = ev.agg(approx_count_distinct(col("user_id")).as("a"))
