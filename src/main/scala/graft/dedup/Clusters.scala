@@ -23,11 +23,16 @@ object Clusters {
     * vertices that appear in an edge are returned.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — every round joins against it, and
+    // without this the whole upstream pipeline (e.g. the shingle pair
+    // join) would re-execute per iteration
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -35,14 +40,16 @@ object Clusters {
       val viaEdges = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
+      // checkpoint BEFORE the convergence probe so `next` executes once
       val next = labels.select(col("id"), col("label"))
         .union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
-      labels = next.localCheckpoint(eager = true) // truncate the lineage per round
+      labels = next
       converged = changed == 0
       iter += 1
     }
