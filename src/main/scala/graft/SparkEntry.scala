@@ -29,7 +29,8 @@ object SparkEntry {
       dedup.Clusters.defs ++
       similarity.Knn.defs ++
       similarity.Ivf.defs ++
-      text.TextAnalysis.defs
+      text.TextAnalysis.defs ++
+      text.Curate.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
