@@ -45,9 +45,12 @@ object Multimodal {
       frame_index: Int,
       frame_bytes: Array[Byte])
 
-  implicit val assetEnc = Encoders.product[Asset]
-  implicit val featEnc = Encoders.product[ImageFeatures]
-  implicit val frameEnc = Encoders.product[Frame]
+  implicit val assetEnc: org.apache.spark.sql.Encoder[Asset] =
+    Encoders.product[Asset]
+  implicit val featEnc: org.apache.spark.sql.Encoder[ImageFeatures] =
+    Encoders.product[ImageFeatures]
+  implicit val frameEnc: org.apache.spark.sql.Encoder[Frame] =
+    Encoders.product[Frame]
 
   /** STUB decoder — deterministic fake standing in for a real codec.
     * Everything it returns is a pure function of the input bytes, so

@@ -197,6 +197,51 @@ object Relational2 {
            FROM orders JOIN customer ON o_custkey = c_custkey) t
          WHERE rk <= 3 ORDER BY c_mktsegment, rk"""),
 
+    // UNPIVOT/melt: wide measure columns → long (metric, value) rows.
+    "unpivot_measures" -> QueryDef(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_returnflag", "l_quantity", "l_discount", "l_tax")
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            variableColumnName = "metric",
+            valueColumnName = "v")
+          .groupBy("l_returnflag", "metric")
+          .agg(round(sum("v"), 4).as("total"))
+          .orderBy("l_returnflag", "metric"),
+      """SELECT l_returnflag, metric, round(sum(v), 4) AS total
+         FROM (
+           SELECT l_returnflag, metric, v
+           FROM lineitem
+           UNPIVOT (v FOR metric IN (l_quantity, l_discount, l_tax)))
+         GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"""),
+
+    // Window-function battery: lag/lead/ntile/percent_rank in one pass.
+    "window_funcs" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select("o_orderstatus", "o_orderkey", "o_totalprice")
+          .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 4))
+          .withColumn("next_price", round(lead("o_totalprice", 1).over(w), 4))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .select("o_orderstatus", "o_orderkey", "prev_price", "next_price",
+            "quartile", "pct_rank")
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      """SELECT o_orderstatus, o_orderkey,
+                round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+                round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey"""),
+
     // TPC-H Q5-style 5-way join: revenue by nation for one region+year,
     // dims broadcast down the chain, facts shuffle once on the agg key.
     "q5_region_revenue" -> QueryDef(
