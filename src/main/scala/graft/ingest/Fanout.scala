@@ -108,21 +108,30 @@ object SyntheticOrders {
     val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_name")
 
+    // deterministic array order WITHOUT a lambda comparator (comparator
+    // lambdas evaluate interpreted per comparison): build the struct with
+    // line_number as the FIRST field so sort_array's natural struct
+    // ordering sorts by it, then reshape to the wire field order.
     val products = li.select(
       col("l_orderkey"),
       struct(
+        col("l_linenumber").as("line_number"),
         concat(lit("p"), col("l_partkey")).as("product_id"),
         concat(lit("part_"), col("l_partkey")).as("name"),
         col("l_quantity").cast("int").as("quantity"),
-        col("l_linenumber").as("line_number"),
         struct(
           col("l_returnflag").as("color"),
           col("l_linestatus").as("size")).as("item_details")).as("pd"))
       .groupBy("l_orderkey")
-      // deterministic array order: sort the collected list by line_number
-      .agg(array_sort(collect_list(col("pd")),
-        (a, b) => a.getField("line_number") - b.getField("line_number"))
-        .as("product_details"))
+      .agg(sort_array(collect_list(col("pd"))).as("sorted_pd"))
+      .withColumn("product_details", transform(col("sorted_pd"), p =>
+        struct(
+          p.getField("product_id").as("product_id"),
+          p.getField("name").as("name"),
+          p.getField("quantity").as("quantity"),
+          p.getField("line_number").as("line_number"),
+          p.getField("item_details").as("item_details"))))
+      .drop("sorted_pd")
 
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))

@@ -66,6 +66,39 @@ object TimeOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // C13b — Spark's native session_window (gap-merged intervals; the
+    // same op Structured Streaming uses for stateful sessions). Oracle:
+    // the lag+running-sum formulation — two formulations, one fixpoint.
+    "session_window_agg" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("session_value"))
+          .select(col("session_window.start").as("session_start"),
+            col("user_id"), col("n_events"), col("session_value"))
+          .orderBy("user_id", "session_start"),
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                            > 1800 * 1000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM flagged)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+                round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_start"""),
+
     // C13 — sessionization, aggregated to per-session stats.
     "sessionize" -> QueryDef(
       (s, d) =>

@@ -36,6 +36,26 @@ class IngestSpec extends AnyFunSuite {
     assert(Fanout.productDetails(nested).count() == expected)
   }
 
+  test("csv sink round-trips a query result (Athena result-export analog)") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val res = SparkEntry.queries("ref_sales_by_country")(spark, sf)
+    res.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(res.schema).csv(dir)
+    assert(back.count() == res.count())
+    assert(back.columns.toSeq == res.columns.toSeq)
+  }
+
+  test("json-lines source reads wire events with the explicit schema") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val nested = SyntheticOrders.nested(spark, sf)
+    nested.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(EventCodec.orderEventSchema).json(dir)
+    assert(back.count() == nested.count())
+    assert(Fanout.productDetails(back).count() ==
+      Fanout.productDetails(nested).count())
+  }
+
   test("partitioned sink writes firehose-style directory layout") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val orders = Fanout.withPartitionKeys(
