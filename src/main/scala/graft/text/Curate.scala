@@ -43,7 +43,7 @@ object Curate {
         val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").as("dup_id"))
         scored
-          .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
+          .join(broadcast(dropped), col("doc_id") === col("dup_id"), "left_anti")
           .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
           .orderBy("doc_id")
       },
