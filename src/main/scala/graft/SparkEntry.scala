@@ -29,6 +29,7 @@ object SparkEntry {
       dedup.Clusters.defs ++
       similarity.Knn.defs ++
       similarity.Ivf.defs ++
+      similarity.VectorAnalytics.defs ++
       text.TextAnalysis.defs ++
       text.Curate.defs
 
