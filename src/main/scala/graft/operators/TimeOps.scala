@@ -59,6 +59,34 @@ object TimeOps {
       .drop("_prev", "_new_session")
   }
 
+  /** Range (interval) join via bucket-explode: Spark has no native range
+    * join optimization, and a raw `ON key AND ts BETWEEN ..` plans the
+    * inequality as a post-join filter over the full key equi-join. With
+    * window length W and buckets of size W, every qualifying right row is
+    * in the left row's bucket or the one before — exploding the right
+    * side to 2 bucket keys turns the range join into an equi-join with
+    * 2× fan-out, independent of key cardinality or time span. The exact
+    * interval predicate then filters locally.
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+      ts: String, windowSeconds: Long): DataFrame = {
+    val bucket = (unix_micros(col(ts)) / lit(windowSeconds * 1000000L))
+      .cast("long")
+    val l = left.withColumn("_b", bucket)
+    val r = right
+      .withColumnRenamed(ts, "_r_ts")
+      .withColumn("_rb", explode(array(
+        (unix_micros(col("_r_ts")) / lit(windowSeconds * 1000000L)).cast("long"),
+        (unix_micros(col("_r_ts")) / lit(windowSeconds * 1000000L)).cast("long") + 1)))
+      .withColumnRenamed(key, "_r_key")
+    l.join(r,
+      col(key) === col("_r_key") && col("_b") === col("_rb") &&
+        col("_r_ts") >= col(ts) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("_r_ts") <= col(ts), "left")
+      .groupBy(left.columns.map(col).toIndexedSeq: _*)
+      .agg(count(col("_r_key")).as("n_in_window"))
+  }
+
   private def eventsByType(s: org.apache.spark.sql.SparkSession, d: String,
       tpe: String): DataFrame =
     Tables.events(s, d).filter(col("event_type") === tpe)
@@ -132,6 +160,26 @@ object TimeOps {
                 round(sum(value), 4) AS session_value
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id"""),
+
+    // C14b — range join: clicks within the 30 min before each purchase,
+    // bucket-exploded equi-join (no unbounded inequality fan-out).
+    "range_join" -> QueryDef(
+      (s, d) =>
+        rangeJoinCount(
+          eventsByType(s, d, "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+          eventsByType(s, d, "click").select("user_id", "ts"),
+          key = "user_id", ts = "ts", windowSeconds = 1800)
+          .select("purchase_id", "user_id", "n_in_window")
+          .orderBy("purchase_id"),
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                (SELECT count(*) FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND CAST(c.ts AS TIMESTAMP)
+                       BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1800 SECOND
+                           AND CAST(p.ts AS TIMESTAMP)) AS n_in_window
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id"""),
 
     // C14 — as-of join: each purchase event picks the same user's most
     // recent click at-or-before it.
