@@ -114,6 +114,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("a", "b", "c"), "replayed key must appear once")
   }
 
+  test("stateful sessionizer closes sessions on gap and keeps the open one") {
+    import spark.implicits._
+    import graft.streaming.StreamSessions
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000L // one minute in micros
+    val input = MemoryStream[StreamSessions.Evt]
+    val q = StreamSessions.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 7: two events 10 min apart (one session), then a 2 h jump
+    input.addData(
+      StreamSessions.Evt(7, 0, 1.0),
+      StreamSessions.Evt(7, 10 * m, 2.0))
+    q.processAllAvailable()
+    input.addData(StreamSessions.Evt(7, 130 * m, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions").as[StreamSessions.Session].collect()
+    assert(closed.length == 1, s"expected 1 closed session, got ${closed.toSeq}")
+    assert(closed.head.n_events == 2 && closed.head.session_value == 3.0)
+    assert(closed.head.start_us == 0 && closed.head.end_us == 10 * m)
+  }
+
   test("batch latest-per-key agrees with streaming semantics") {
     import spark.implicits._
     val ds = Seq(
