@@ -134,13 +134,5 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
-  /** SQL registration (`SELECT vec_cosine(a, b)`), for parity with the
-    * reference's SQL-first analytics surface.
-    */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-  }
+  // SQL registration lives in graft.GraftExtensions (injectFunction).
 }

@@ -63,6 +63,23 @@ object EventCodec {
     * encoding, `python_producer.py:104-113`). Used to round-trip-test
     * the codec and to feed the streaming ingest specs.
     */
+  /** Decode with dead-letter routing (the Firehose error-prefix analog:
+    * failed records land in an S3 error output instead of vanishing).
+    * Returns (decoded-good, raw-bad); bad = records whose base64 or JSON
+    * failed to parse. One pass over the data per side, both narrow.
+    */
+  def decodeWithDlq(records: DataFrame, dataCol: String = "data")
+      : (DataFrame, DataFrame) = {
+    val parsed = records.withColumn("_evt",
+      from_json(try_to_binary(col(dataCol), lit("base64")).cast(StringType),
+        orderEventSchema))
+    // from_json yields an all-null struct on malformed input; order_id is
+    // non-null in every real event, so it is the validity sentinel
+    val good = parsed.filter(col("_evt.order_id").isNotNull).select(col("_evt.*"))
+    val bad = parsed.filter(col("_evt.order_id").isNull).select(col(dataCol))
+    (good, bad)
+  }
+
   def encode(events: DataFrame): DataFrame =
     events.select(
       // Spark's base64 is MIME-chunked (CRLF every 76 chars) unless the

@@ -36,6 +36,33 @@ class IngestSpec extends AnyFunSuite {
     assert(Fanout.productDetails(nested).count() == expected)
   }
 
+  test("dead-letter routing splits good and malformed wire records") {
+    import spark.implicits._
+    val goodData = EventCodec.encode(SyntheticOrders.nested(spark, sf))
+    val mixed = goodData.union(
+      Seq("!!!not-base64!!!", "aGVsbG8=" /* b64 of non-JSON */).toDF("data"))
+    val (good, bad) = EventCodec.decodeWithDlq(mixed)
+    assert(good.count() == goodData.count())
+    assert(bad.count() == 2)
+    assert(bad.columns.toSeq == Seq("data")) // raw payload preserved for replay
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    val inDir = Files.createTempDirectory("graft-frag").toString
+    val outDir = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables.orders(spark, sf)
+    orders.repartition(37).write.mode("overwrite").parquet(inDir)
+    val before = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 37)
+    graft.ingest.Compaction.compact(spark, inDir, outDir,
+      targetBytes = 8L * 1024 * 1024, clusterBy = Seq("o_custkey"))
+    val after = new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(after < before / 4, s"$before -> $after files")
+    assert(spark.read.parquet(outDir).count() == orders.count())
+  }
+
   test("csv sink round-trips a query result (Athena result-export analog)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val res = SparkEntry.queries("ref_sales_by_country")(spark, sf)
