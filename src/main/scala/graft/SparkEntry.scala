@@ -18,6 +18,7 @@ object SparkEntry {
     operators.RefQueries.defs ++
       operators.Relational.defs ++
       operators.Relational2.defs ++
+      operators.Relational3.defs ++
       operators.SqlSurface.defs ++
       operators.TpchMore.defs ++
       operators.Skew.defs ++
