@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.Relational3.defs ++
+      operators.TypedOps.defs ++
       operators.SqlSurface.defs ++
       operators.TpchMore.defs ++
       operators.Skew.defs ++
