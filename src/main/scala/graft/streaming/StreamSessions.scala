@@ -36,7 +36,12 @@ object StreamSessions {
           sorted.foreach { e =>
             open match {
               case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                open = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1,
+                // max(): an out-of-order event inside the gap must not
+                // move the session end backwards
+                open = Some(s.copy(
+                  start_us = math.min(s.start_us, e.ts_us),
+                  end_us = math.max(s.end_us, e.ts_us),
+                  n_events = s.n_events + 1,
                   session_value = s.session_value + e.value))
               case Some(s) =>
                 closed += s

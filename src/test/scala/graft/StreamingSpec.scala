@@ -128,7 +128,10 @@ class StreamingSpec extends AnyFunSuite {
       StreamSessions.Evt(7, 0, 1.0),
       StreamSessions.Evt(7, 10 * m, 2.0))
     q.processAllAvailable()
-    input.addData(StreamSessions.Evt(7, 130 * m, 5.0))
+    // an out-of-order event still inside the open session's gap must
+    // merge without regressing the session end
+    input.addData(StreamSessions.Evt(7, 130 * m, 5.0),
+      StreamSessions.Evt(7, 125 * m, 1.0))
     q.processAllAvailable()
     q.stop()
     val closed = spark.table("sessions").as[StreamSessions.Session].collect()
