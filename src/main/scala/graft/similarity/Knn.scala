@@ -63,7 +63,9 @@ object Knn {
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_emb", "neighbor_id", "c_emb")
-      .distinct()
+      // dedupe multi-table collisions on the ID pair only — a distinct()
+      // over the full rows would shuffle-hash the embedding arrays
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
