@@ -142,6 +142,37 @@ object TextAnalysis {
          SELECT predicted_lang, count(*) AS n_docs
          FROM p GROUP BY predicted_lang ORDER BY predicted_lang"""),
 
+    // D9b — repetition detection: distinct-to-total 3-gram ratio (the
+    // classic repeated-paragraph/boilerplate signal). Low ratio = the
+    // document repeats itself.
+    "repetition_ratio" -> QueryDef(
+      (s, d) => {
+        val total = size(split(trim(col("text")), "\\s+")) - lit(2)
+        Tables.documents(s, d)
+          .filter(total >= lit(1))
+          .select(
+            col("doc_id"),
+            total.as("total_3grams"),
+            size(graft.functions.HashOps.wordShingles(col("text"), 3))
+              .as("distinct_3grams"))
+          .withColumn("repetition",
+            round(lit(1.0) - col("distinct_3grams").cast("double") /
+              col("total_3grams").cast("double"), 6))
+          .orderBy("doc_id")
+      },
+      """WITH g AS (
+           SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) - 2 AS total_3grams,
+                  len(list_distinct(
+                    [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+                     for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1)]))
+                    AS distinct_3grams
+           FROM documents)
+         SELECT doc_id, total_3grams, distinct_3grams,
+                round(1.0 - CAST(distinct_3grams AS DOUBLE)
+                          / CAST(total_3grams AS DOUBLE), 6) AS repetition
+         FROM g WHERE total_3grams >= 1 ORDER BY doc_id"""),
+
     // D11 — winnowing fingerprints (rows-only: the rolling-hash values
     // are not SQL-portable; spec checks shared-substring behavior).
     "fingerprint" -> QueryDef(
