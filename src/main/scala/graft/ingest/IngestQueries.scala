@@ -53,6 +53,24 @@ object IngestQueries {
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    // A2b — JSON payload parsed as a MAP type (schema-less key space, vs
+    // A2's path extraction): from_json to map<string,long> + key access.
+    "ingest_props_map" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).as("m"))
+          .select(col("event_id"),
+            element_at(col("m"), "k").as("k"),
+            size(col("m")).as("n_keys"))
+          .orderBy("event_id"),
+      """SELECT event_id,
+                CAST(props->>'$.k' AS BIGINT) AS k,
+                CAST(len(json_keys(props)) AS INT) AS n_keys
+         FROM events ORDER BY event_id"""),
+
     // A3 — orders fan-out: 4-column projection + ISO-ts→DATE collapse.
     "fanout_orders" -> QueryDef(
       (s, d) =>
