@@ -173,6 +173,37 @@ object TextAnalysis {
                           / CAST(total_3grams AS DOUBLE), 6) AS repetition
          FROM g WHERE total_3grams >= 1 ORDER BY doc_id"""),
 
+    // D20 — deterministic train/val/test split by content-stable hash:
+    // md5 of the doc id buckets every row reproducibly on any cluster,
+    // any partitioning, any engine — the property a 100 TB split needs
+    // (rand()-based splits are neither stable nor resumable). First hex
+    // nibbles give 256 buckets: 0..229 train, 230..242 val, rest test.
+    "dataset_split" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+              16, 10).cast("int"))
+          .withColumn("split",
+            when(col("bucket") < 230, "train")
+              .when(col("bucket") < 243, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("split"),
+      """SELECT split, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM (
+           SELECT n_chars,
+                  CASE WHEN b < 230 THEN 'train'
+                       WHEN b < 243 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT n_chars,
+                        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS b
+                 FROM documents))
+         GROUP BY split ORDER BY split"""),
+
     // D11 — winnowing fingerprints (rows-only: the rolling-hash values
     // are not SQL-portable; spec checks shared-substring behavior).
     "fingerprint" -> QueryDef(
