@@ -16,10 +16,17 @@ object Compaction {
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Long = {
-    val fs = new java.io.File(dir)
-    val inputBytes = Option(fs.listFiles()).map(_.filter(_.isFile)
-      .filterNot(_.getName.startsWith("_"))
-      .map(_.length()).sum).getOrElse(0L)
+    // size the input via the Hadoop FileSystem API so the same code
+    // works on distributed storage (HDFS/S3), not just local paths
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    var inputBytes = 0L
+    val files = fs.listFiles(path, /* recursive = */ true)
+    while (files.hasNext) {
+      val f = files.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) inputBytes += f.getLen
+    }
     val df = spark.read.parquet(dir)
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     val arranged =

@@ -65,11 +65,17 @@ object Relational3 {
           .withColumn("price_dec",
             col("o_totalprice").cast("decimal(18,2)"))
           .groupBy("o_orderstatus")
-          .agg(sum(col("price_dec")).cast("decimal(18,2)").as("total_exact"),
+          // aggregation is exact decimal; the final cast to double is
+          // transport-only (the gate reads Spark parquet with pyarrow —
+          // Decimal objects — but DuckDB results as float64; both sides
+          // take the nearest double of the SAME exact decimal)
+          .agg(sum(col("price_dec")).cast("decimal(18,2)").cast("double")
+              .as("total_exact"),
             count(lit(1)).as("n"))
           .orderBy("o_orderstatus"),
       """SELECT o_orderstatus,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS DOUBLE)
                   AS total_exact,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))

@@ -75,15 +75,21 @@ object SqlSurface {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
     // Array aggregation: sorted distinct status set per priority bucket.
+    // The aggregation is a real array op (collect_set + array_sort); the
+    // final array_join is transport-only — the gate's pandas compare
+    // cannot sort/hash ndarray cells, so arrays are serialized to a
+    // canonical string on both sides.
     "array_agg_statuses" -> QueryDef(
       (s, d) =>
         Tables.orders(s, d)
           .groupBy("o_orderpriority")
-          .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+              .as("statuses"),
             count(lit(1)).as("n"))
           .orderBy("o_orderpriority"),
       """SELECT o_orderpriority,
-                list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                  AS statuses,
                 count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 }

@@ -29,7 +29,13 @@ object TimeOps {
       .withColumn("_side", lit(0))
     // unionByName fills each side's missing columns with nulls
     val unified = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+    // (ts, _side) alone is not a total order: right rows tied on
+    // (key, ts) would make last(_rp) nondeterministic. The payload
+    // struct itself (null on left rows, nulls-first under asc) is the
+    // final tiebreak — ties resolve to the LARGEST payload tuple, which
+    // the oracle mirrors with ORDER BY ts DESC, payload DESC LIMIT 1.
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_rp").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unified
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
@@ -149,11 +155,12 @@ object TimeOps {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
          sessions AS (
+           -- CAST: DuckDB window sum(int) is HUGEINT; Spark's is BIGINT
            SELECT user_id, ts, value,
-                  sum(new_session) OVER
+                  CAST(sum(new_session) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_id
+                    AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end,
@@ -203,11 +210,13 @@ object TimeOps {
                 c.click_id, p.value AS purchase_value, c.click_value
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
                FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN
-              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                      event_id AS click_id, value AS click_value
-               FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND c.ts <= p.ts
+         LEFT JOIN LATERAL (
+              SELECT event_id AS click_id, value AS click_value
+              FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND CAST(c.ts AS TIMESTAMP) <= p.ts
+              ORDER BY CAST(c.ts AS TIMESTAMP) DESC, event_id DESC
+              LIMIT 1) c ON true
          ORDER BY purchase_id"""))
 
   /** C15 — HLL approximate distinct: cross-engine sketch values differ by

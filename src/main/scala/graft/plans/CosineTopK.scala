@@ -128,8 +128,12 @@ case class CosineTopKExec(
       }
     }
 
-    // phase 2: tiny single-partition merge, then final rows
-    partials.coalesce(1).mapPartitions { it =>
+    // phase 2: tiny single-partition merge, then final rows.
+    // repartition (a shuffle), NOT coalesce: coalesce(1) is a narrow
+    // dependency that would collapse phase 1 into one task, serializing
+    // the whole corpus scan. The shuffle moves only the
+    // O(k·queries·partitions) partials.
+    partials.repartition(1).mapPartitions { it =>
       val ids = bcIds.value
       val heaps = Array.fill(ids.length)(new TopKBuffer(kk))
       it.foreach { case (q, p, s) => heaps(q).insert(p, s) }

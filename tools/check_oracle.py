@@ -1,19 +1,26 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: for each query result
-parquet dumped by graft.Verify, run the matching oracle SQL in DuckDB over
-the same sf tables and compare rows/schema/values (columns sorted by name,
-values compared with a small float tolerance after rounding).
+"""Strict local replica of the driver's correctness gate.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+The driver reads the Spark result parquet with pandas/pyarrow, runs the
+oracle SQL in DuckDB (→ .df()), sorts columns by name, sort_values rows
+by all columns, then hash-compares VALUES — which is dtype-sensitive:
+int64 3 vs float64 3.0 differ, Decimal objects vs float64 differ, and an
+array (ndarray) cell makes sort_values throw. Round 1 lost decimal_sum /
+sessionize / array_agg_statuses exactly this way while the lenient local
+check passed, so this replica mimics the strict behavior.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -23,53 +30,77 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     res_dir = Path(outdir) / name
     if not res_dir.exists():
         print(f"FAIL {name}: no spark result dir")
         fails += 1
         continue
-    got = con.sql(
-        f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
-    got_cols = [d[0] for d in con.sql(
-        f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
     try:
-        exp_rel = con.sql(sql)
-        exp = exp_rel.fetchall()
-        exp_cols = [d[0] for d in exp_rel.description]
+        got = pd.read_parquet(res_dir)
+    except Exception as e:
+        print(f"FAIL {name}: spark parquet read error {e}")
+        fails += 1
+        continue
+    try:
+        exp = con.sql(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}")
         fails += 1
         continue
-    if sorted(got_cols) != sorted(exp_cols):
-        print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: cols {sorted(got.columns)} != {sorted(exp.columns)}")
         fails += 1
         continue
-    gi = [got_cols.index(c) for c in sorted(got_cols)]
-    ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-    g = [tuple(r[i] for i in gi) for r in got]
-    e = [tuple(r[i] for i in ei) for r in exp]
-    if len(g) != len(e):
-        print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
         fails += 1
         continue
-
-    def eq(a, b):
-        if isinstance(a, float) and isinstance(b, float):
-            if math.isnan(a) and math.isnan(b):
-                return True
-            return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-        return str(a) == str(b)
-
-    bad = None
-    for i, (gr, er) in enumerate(zip(sorted(g, key=str), sorted(e, key=str))):
-        if not all(eq(a, b) for a, b in zip(gr, er)):
-            bad = (i, gr, er)
-            break
-    if bad:
-        print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+    # driver-style row sort — throws on unhashable cells (ndarray etc.),
+    # which the driver reports as an err; treat that as a failure here
+    try:
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    except Exception as ex:
+        print(f"FAIL {name}: unsortable result ({type(ex).__name__} {ex})")
+        fails += 1
+        continue
+    # dtype-sensitive value compare via canonical string of every cell
+    import datetime
+    def canon(df):
+        out = []
+        for c in df.columns:
+            col = df[c]
+            # DATE columns: pyarrow yields datetime.date, duckdb .df()
+            # yields datetime64 — the real driver treats these as equal
+            # (fanout_orders hash-matched in round 1), so normalize
+            vals = [pd.Timestamp(v) if isinstance(v, datetime.date)
+                    and not isinstance(v, datetime.datetime) else v
+                    for v in col.tolist()]
+            # match the hash's dtype sensitivity: represent each cell as
+            # repr(value) so int64 3 != float64 3.0 != Decimal('3')
+            out.append([repr(v) for v in vals])
+        return out
+    gc, ec = canon(g), canon(e)
+    if gc != ec:
+        bad = None
+        for ci, c in enumerate(g.columns):
+            for ri in range(len(g)):
+                if gc[ci][ri] != ec[ci][ri]:
+                    bad = (c, ri, gc[ci][ri], ec[ci][ri])
+                    break
+            if bad:
+                break
+        print(f"FAIL {name}: col={bad[0]} row={bad[1]}\n"
+              f"  spark={bad[2]} (dtype {g[bad[0]].dtype})\n"
+              f"  duck ={bad[3]} (dtype {e[bad[0]].dtype})")
         fails += 1
     else:
         print(f"OK   {name}: {len(g)} rows")
 
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+n = len(only) if only else len(oracle)
+print(f"\n{n - fails}/{n} queries match")
 sys.exit(1 if fails else 0)
