@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Relational2.defs ++
       operators.Relational3.defs ++
+      operators.Relational4.defs ++
       operators.TypedOps.defs ++
       operators.SqlSurface.defs ++
       operators.TpchMore.defs ++
@@ -27,6 +28,7 @@ object SparkEntry {
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
+      streaming.StreamQueries.defs ++
       dedup.Dedup.defs ++
       dedup.Clusters.defs ++
       similarity.Knn.defs ++

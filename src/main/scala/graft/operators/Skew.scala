@@ -34,7 +34,38 @@ object Skew {
         sum(col("_pcnt")).as("n"))
   }
 
+  /** Salted join: the fact side gets a deterministic salt from a
+    * per-row id; the (hot) dim side is replicated across all `salts`
+    * values, so one hot join key spreads over `salts` reducers instead
+    * of pinning one. Result is identical to the plain equi-join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltFrom: Column, salts: Int): DataFrame = {
+    val f = fact.withColumn("_salt", pmod(saltFrom, lit(salts)))
+    val dExp = dim.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    f.join(dExp,
+      f(factKey) === dExp(dimKey) && f("_salt") === dExp("_salt"))
+      .drop("_salt")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // C55 — salted join equals the plain-join oracle.
+    "salted_join" -> QueryDef(
+      (s, d) =>
+        saltedJoin(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "o_custkey", "c_custkey", col("o_orderkey"), salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 4).as("revenue"))
+          .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 4) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
 
     // Salted aggregation produces bit-identical results to the plain
     // GROUP BY oracle (associative double sums re-rounded at 4 dp).

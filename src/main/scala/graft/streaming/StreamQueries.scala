@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryDef, Tables}
+
+/** Gate-checked Structured Streaming entries (SURVEY §2 A16–A18):
+  * each runs a real streaming query (file source → stateful transform →
+  * memory sink) to completion with Trigger.AvailableNow, then returns
+  * the sink table so the SAME DuckDB oracle that checks the batch
+  * operators checks the streaming path. Streaming/batch parity is the
+  * point: the fixpoint of the stream must equal the batch query.
+  *
+  * At scale the file source swaps for Kinesis/Kafka and AvailableNow
+  * for a continuous trigger; transforms and state semantics carry over
+  * unchanged.
+  */
+object StreamQueries {
+
+  private val nameCounter = new AtomicLong()
+
+  /** The events table as a STREAM, with the same nanos→timestamp
+    * conversion `Tables.events` applies to the batch frame.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val static = Tables.load(s, d, "events")
+    // the test table is a single FILE; the file stream source requires a
+    // directory basePath, so address it with a glob (basePath = sfDir)
+    val raw = s.readStream.schema(static.schema)
+      .option("basePath", d)
+      .parquet(s"$d/*events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Run an AvailableNow stream into a uniquely-named memory sink and
+    * return the sink table after termination.
+    */
+  def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A16 — streaming tumbling-hour aggregation (complete mode): the
+    // stream's final state must equal the batch GROUP BY.
+    "stream_hourly" -> QueryDef(
+      (s, d) => {
+        val agg = eventsStream(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum("value").as("_sv"))
+        runToMemory(agg, "complete")
+          .select(col("hour"), col("event_type"), col("n_events"),
+            round(col("_sv"), 4).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                event_type, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+
+    // A17 — streaming exact dedup (state-backed dropDuplicates,
+    // append mode): emits each user exactly once.
+    "stream_dedup_users" -> QueryDef(
+      (s, d) =>
+        runToMemory(
+          eventsStream(s, d).select("user_id").dropDuplicates("user_id"),
+          "append")
+          .orderBy("user_id"),
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id"""),
+
+    // A18 — streaming KV upsert view (mapGroupsWithState, update mode):
+    // the DynamoDB-analog last-write-wins table. Sequence = event_id
+    // (unique), so "latest" is deterministic. Update mode re-emits a
+    // key per micro-batch it changes in; the final window collapse
+    // keeps the highest sequence — a no-op for a single AvailableNow
+    // batch, correctness under any batch split.
+    "stream_latest_kv" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kv = eventsStream(s, d)
+          .selectExpr("CAST(user_id AS STRING) AS key",
+            "event_id AS seq", "event_type AS value")
+          .as[LatestKV.KV](org.apache.spark.sql.Encoders.product[LatestKV.KV])
+        val out = LatestKV.latest(kv).toDF()
+        val w = Window.partitionBy("key").orderBy(col("seq").desc)
+        runToMemory(out, "update")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+          .orderBy("key")
+      },
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id AS seq,
+                event_type AS value
+         FROM (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY key"""))
+}
