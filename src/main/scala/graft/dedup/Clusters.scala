@@ -31,9 +31,18 @@ object Clusters {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with min(id, min neighbor) — the first propagation
+    // round folded into initialization
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("id"), least(col("id"), col("_mn")).as("label"))
       .localCheckpoint(true)
+    // labels only ever DECREASE, so the label sum is strictly monotone:
+    // equal sums between rounds ⇔ fixpoint. Decimal accumulator — a
+    // 100 TB id space would overflow a long sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -52,12 +61,10 @@ object Clusters {
         .union(viaPtr)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     if (!converged)
