@@ -35,7 +35,8 @@ object SparkEntry {
       similarity.Ivf.defs ++
       similarity.VectorAnalytics.defs ++
       text.TextAnalysis.defs ++
-      text.Curate.defs
+      text.Curate.defs ++
+      multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

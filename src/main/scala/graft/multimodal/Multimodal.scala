@@ -114,6 +114,25 @@ object Multimodal {
       }
     }
 
+  /** D12 gate entry: binary-column metadata plumbing — byte length and
+    * magic-bytes sniff over an opaque blob column, the (deterministic)
+    * first step of any media-type dispatch. Pure codegen'd column ops;
+    * oracle-checked against DuckDB blob functions.
+    */
+  val defs: Map[String, graft.QueryDef] = Map(
+    "binary_meta" -> graft.QueryDef(
+      (s, d) =>
+        graft.Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
+            upper(hex(substring(col("text"), 1, 4).cast("binary")))
+              .as("magic"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                upper(hex(encode(substring(text, 1, 4)))) AS magic
+         FROM documents ORDER BY doc_id"""))
+
   /** Synthesize a deterministic asset table from the documents corpus
     * (bytes = utf8 text), so specs exercise realistic blob sizes.
     */

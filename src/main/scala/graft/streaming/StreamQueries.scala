@@ -84,6 +84,38 @@ object StreamQueries {
           .orderBy("user_id"),
       """SELECT DISTINCT user_id FROM events ORDER BY user_id"""),
 
+    // A19 — stream-stream inner join with an event-time range
+    // constraint: every (purchase, click-within-30min-before) pair.
+    // Watermarks bound the join state on both sides; inner-join output
+    // is emitted as matches arrive, so the fixpoint equals the batch
+    // interval join the oracle runs.
+    "stream_stream_join" -> QueryDef(
+      (s, d) => {
+        val ev = eventsStream(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+        runToMemory(joined.select("purchase_id", "click_id"), "append")
+          .orderBy("purchase_id", "click_id")
+      },
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP)
+              BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1800 SECOND
+                  AND CAST(p.ts AS TIMESTAMP)
+         ORDER BY purchase_id, click_id"""),
+
     // A18 — streaming KV upsert view (mapGroupsWithState, update mode):
     // the DynamoDB-analog last-write-wins table. Sequence = event_id
     // (unique), so "latest" is deterministic. Update mode re-emits a

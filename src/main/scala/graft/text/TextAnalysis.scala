@@ -214,5 +214,48 @@ object TextAnalysis {
           .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
             element_at(col("fp"), 1).as("min_fingerprint"))
           .orderBy("doc_id"),
-      None))
+      None),
+
+    // D22 — TF-IDF top terms per document. Two aggregations (term
+    // frequency per doc, document frequency per term) + a broadcast of
+    // the df table (vocabulary-bounded, small even at corpus scale) +
+    // per-doc top-3 via WindowGroupLimit. Ranking is on the ROUNDED
+    // score so cross-engine ulp noise in ln() cannot reorder ranks.
+    "tfidf_top_terms" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tfidf")
+          .orderBy("doc_id", "rank")
+      },
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents) t
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         ranked AS (
+           SELECT doc_id, term,
+                  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4)
+                                DESC, term) AS INT) AS rank
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, rank, term, tfidf FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank"""))
 }
