@@ -204,6 +204,54 @@ object TextAnalysis {
                  FROM documents))
          GROUP BY split ORDER BY split"""),
 
+    // D23 — deterministic stratified hash sampling: ~10% of docs per
+    // language (md5 bucket < 26/256), counted against the stratum total
+    // in ONE pass (conditional agg — no second scan, no join). Same
+    // content-stable-hash property as dataset_split: reproducible on
+    // any cluster, any partitioning, any engine; rand() sampling is
+    // neither.
+    "hash_sample" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("_b",
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+              16, 10).cast("int"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("_b") < 26, 1)).as("n_sampled"))
+          .orderBy("lang"),
+      """SELECT lang, count(*) AS n_total,
+                count(CASE WHEN b < 26 THEN 1 END) AS n_sampled
+         FROM (SELECT lang,
+                      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                           AS INT) AS b
+               FROM documents) t
+         GROUP BY lang ORDER BY lang"""),
+
+    // D24 — per-group quantile filtering: keep docs longer than their
+    // language's median. Per-group exact percentile (linear
+    // interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`)
+    // broadcast back against the corpus.
+    "quantile_filter" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        val med = docs.groupBy(col("lang").as("m_lang"))
+          .agg(expr("percentile(n_chars, 0.5)").as("median_chars"))
+        docs.join(broadcast(med), col("lang") === col("m_lang"))
+          .filter(col("n_chars") > col("median_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_above"),
+            round(avg("n_chars"), 4).as("avg_chars"))
+          .orderBy("lang")
+      },
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS m
+                      FROM documents GROUP BY lang)
+         SELECT d.lang, count(*) AS n_above,
+                round(avg(n_chars), 4) AS avg_chars
+         FROM documents d JOIN med ON d.lang = med.lang
+         WHERE d.n_chars > med.m
+         GROUP BY d.lang ORDER BY d.lang"""),
+
     // D11 — winnowing fingerprints (rows-only: the rolling-hash values
     // are not SQL-portable; spec checks shared-substring behavior).
     "fingerprint" -> QueryDef(
