@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Failed queries are excluded from the reported total (a failure must
   * never make the benchmark look faster) and surface in "failures".
+  *
+  * Timing discipline: each query is fully materialized via the built-in
+  * no-op sink and run SPARK_GRAFT_REPS (default 3) times; the median is
+  * reported so single-shot scheduler noise cannot masquerade as a
+  * regression (or an improvement).
   */
 object Bench {
 
@@ -45,17 +50,33 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query is materialized through the no-op sink (not .count(): under
+    // count Catalyst prunes every projection, so scan-heavy projection
+    // queries would time the scan rather than the operator) and run REPS
+    // times; the reported figure is the median, which is robust to the
+    // +-30% single-shot machine variance observed in rounds 1-2.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
     }
-    def fmt(v: Double) = f"$v%.3f"
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => runOnce(name, fn))
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -40,8 +40,12 @@ object Clusters {
     // labels only ever DECREASE, so the label sum is strictly monotone:
     // equal sums between rounds ⇔ fixpoint. Decimal accumulator — a
     // 100 TB id space would overflow a long sum.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty frame is null — a corpus with zero near-dup
+      // pairs must fall through to "converged", not NPE
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -23,9 +23,14 @@ object Relational4 {
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
       partitions: Int): DataFrame = {
+    // materialize the ranged layout ONCE: RangePartitioner samples its
+    // boundaries per-RDD, so evaluating this subtree twice (offsets +
+    // final join) could assign the same row to different partitions and
+    // corrupt the numbering if exchange reuse doesn't kick in
     val ranged = df
       .repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = ranged.groupBy("_pid").count()
       .withColumn("_offset",
         coalesce(sum(col("count")).over(

@@ -29,8 +29,17 @@ object StreamQueries {
     val static = Tables.load(s, d, "events")
     // the test table is a single FILE; the file stream source requires a
     // directory basePath, so address it with a glob (basePath = sfDir)
+    // maxFilesPerTrigger pinned high: AvailableNow otherwise splits a
+    // multi-file table into several micro-batches, letting the 1-hour
+    // watermark advance between them and evict out-of-order join/dedup
+    // state the batch oracle still counts. With every file in ONE batch
+    // no watermark eviction can happen before all input is seen — the
+    // invariant the gate's stream/batch parity checks rely on. (A
+    // production deployment would instead size watermarks to the real
+    // disorder bound; the gate checks the fixpoint.)
     val raw = s.readStream.schema(static.schema)
       .option("basePath", d)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .parquet(s"$d/*events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -42,8 +42,13 @@ object Curate {
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id").as("dup_id"))
+        // NO broadcast hint: the dropped-id set is corpus-proportional
+        // (every non-representative duplicate), so at 100 TB it cannot
+        // be assumed driver/executor-memory sized. A shuffle left-anti
+        // on doc_id scales; AQE still downgrades it to broadcast when
+        // the set is actually small.
         scored
-          .join(broadcast(dropped), col("doc_id") === col("dup_id"), "left_anti")
+          .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
           .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
           .orderBy("doc_id")
       },

@@ -28,6 +28,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+unknown = only - set(oracle)
+if unknown:
+    # a typo'd filter must not report "1/1 queries match"
+    print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+    sys.exit(2)
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
