@@ -252,8 +252,14 @@ object TextAnalysis {
          WHERE d.n_chars > med.m
          GROUP BY d.lang ORDER BY d.lang"""),
 
-    // D11 — winnowing fingerprints (rows-only: the rolling-hash values
-    // are not SQL-portable; spec checks shared-substring behavior).
+    // D11 — winnowing fingerprints. The rolling 9-gram polynomial hash
+    // (B=257 mod 2^55) and the w=4 winnow ARE SQL-portable after all:
+    // the oracle recomputes them with DuckDB list comprehensions in
+    // HUGEINT (257^8 > 2^63, so the per-gram sum needs 128-bit
+    // intermediates; the mod-2^55 result fits BIGINT exactly). Masking
+    // per step in Scala ≡ one mod of the full polynomial sum because
+    // 2^55 divides 2^64. Docs are ASCII in every test SF, so DuckDB's
+    // per-char ord() equals the Scala byte walk.
     "fingerprint" -> QueryDef(
       (s, d) =>
         Tables.documents(s, d)
@@ -262,13 +268,36 @@ object TextAnalysis {
           .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
             element_at(col("fp"), 1).as("min_fingerprint"))
           .orderBy("doc_id"),
-      None),
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(range(1, length(text) - 7), i ->
+               CAST(list_sum(list_transform(range(0, 9), j ->
+                 CAST(ord(text[i+j]) AS HUGEINT) *
+                 ([19031147999601100801, 74051159531521793, 288136807515649,
+                   1121154893057, 4362470401, 16974593, 66049, 257, 1])[j+1]
+               )) % 36028797018963968 AS BIGINT)) AS grams
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN len(grams) < 4 THEN [list_min(grams)]
+                  ELSE list_transform(range(1, len(grams) - 2),
+                         i -> list_min(grams[i:i+3]))
+             END AS mins
+           FROM g)
+         SELECT doc_id,
+                CAST(len(list_distinct(mins)) AS INT) AS n_fingerprints,
+                list_min(mins) AS min_fingerprint
+         FROM m ORDER BY doc_id"""),
 
     // D22 — TF-IDF top terms per document. Two aggregations (term
-    // frequency per doc, document frequency per term) + a broadcast of
-    // the df table (vocabulary-bounded, small even at corpus scale) +
-    // per-doc top-3 via WindowGroupLimit. Ranking is on the ROUNDED
-    // score so cross-engine ulp noise in ln() cannot reorder ranks.
+    // frequency per doc, document frequency per term) joined back on
+    // `term` with a plain shuffle join: the vocabulary of an open web
+    // corpus is NOT broadcast-safe (10^8-10^9 distinct terms at 100 TB),
+    // and tf is already shuffled on term to compute dfreq, so AQE can
+    // reuse the exchange; it will still downgrade to broadcast when the
+    // runtime df size is genuinely small. Per-doc top-3 via
+    // WindowGroupLimit. Ranking is on the ROUNDED score so cross-engine
+    // ulp noise in ln() cannot reorder ranks.
     "tfidf_top_terms" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -280,7 +309,7 @@ object TextAnalysis {
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
