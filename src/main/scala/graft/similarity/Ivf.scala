@@ -21,12 +21,21 @@ import graft.QueryDef
   */
 object Ivf {
 
-  def index(corpus: DataFrame, nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+  def index(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrain: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val feat = corpus.withColumn("features", toVec(col("embedding")))
+    // the quantizer only needs a representative SAMPLE: at corpus scale
+    // fitting k-means on all vectors is a full multi-pass scan for no
+    // recall gain. Cap the training set at maxTrain rows (deterministic
+    // seed); assignment below still covers the full corpus. The test
+    // corpora are below the cap, so fit sees every row there.
+    val n = feat.count()
+    val train = if (n <= maxTrain) feat
+      else feat.sample(withReplacement = false, maxTrain.toDouble / n, seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(feat)
+      .fit(train)
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "list_id")
       .drop("features")
