@@ -30,15 +30,38 @@ object Dedup {
 
   /** D2 core — exact Jaccard near-dup pairs via a shingle inverted
     * index: explode distinct shingles, self-join on shingle, count
-    * common per pair, filter by Jaccard. At 100 TB add a
-    * document-frequency cap on shingles (drop shingles present in >0.1%
-    * of docs) to bound the inverted-list length; the test corpus has no
-    * such hot shingles so the semantic here stays exact.
+    * common per pair, filter by Jaccard.
+    *
+    * Hot-shingle document-frequency cap (the 100 TB discipline): one
+    * boilerplate shingle present in 0.1% of a 10⁹-doc corpus makes its
+    * inverted list 10⁶ long and the per-shingle self-join 10¹² pairs.
+    * Shingles with df > max(minDfCap, hotDfFrac·corpus) are dropped from
+    * CANDIDATE GENERATION: such a shingle is shared by so many documents
+    * that it carries no near-dup signal. `n` (each doc's true shingle
+    * count) is taken BEFORE the cap, so Jaccard for surviving pairs only
+    * loses the capped shingles from `common` — an undercount bounded by
+    * (#hot shingles shared)/union, the standard inverted-index pruning
+    * approximation. The absolute floor keeps small corpora exact: at
+    * sf0.01 (500 docs < minDfCap) no shingle is ever dropped, so the
+    * DuckDB oracle semantics are unchanged; DedupSpec checks the
+    * bounding behavior with a synthetic boilerplate shingle.
+    *
+    * Cost: one extra groupBy on `s` producing the (tiny) hot-shingle
+    * set, consumed as a left-anti join that AQE plans as a broadcast.
+    * Both aggregations shuffle on `s`, so the exchange is reused.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ex = withShingles(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L): DataFrame = {
+    val exAll = withShingles(docs)
       .select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("s"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val hot = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(minDfCap),
+        (col("n_docs") * lit(hotDfFrac)).cast("long")))
+      .select("s")
+    val ex = exAll.join(hot, Seq("s"), "left_anti")
     val a = ex.as("a")
     val b = ex.as("b")
     // lossless size-band prune: j = common/(na+nb-common) ≤ min(na,nb)/max(na,nb),

@@ -72,6 +72,32 @@ class DedupSpec extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).isEmpty || (fps(1L) & fps(3L)).size < fps(1L).size / 4)
   }
 
+  test("hot-shingle df cap bounds candidate pairs from boilerplate") {
+    import spark.implicits._
+    // 40 docs that share ONLY a 20-token boilerplate header (plus 2
+    // unique tokens each) — every pair hits jaccard 18/22 ≈ 0.82
+    // through the boilerplate alone — and one genuine near-dup pair
+    // (41, 42) sharing a 60-token unique tail.
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val tail = (1 to 60).map(i => s"t$i").mkString(" ")
+    val small = (1 to 40).map(i => (i.toLong, s"$boiler u${i}a u${i}b"))
+    val big = Seq((41L, s"$boiler $tail"), (42L, s"$boiler $tail"))
+    val docs = (small ++ big).toDF("doc_id", "text")
+    // cap disabled: the hot boilerplate shingles generate all C(40,2)
+    // pairs — the quadratic blowup the cap exists to stop
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.5,
+      hotDfFrac = 1.0, minDfCap = Long.MaxValue).count()
+    assert(uncapped == 40L * 39 / 2 + 1, s"uncapped = $uncapped")
+    // cap on (df > max(5, 1%)): boilerplate shingles (df=42) leave
+    // candidate generation; only the genuine near-dup pair survives,
+    // scored on its non-hot shingles (60/96 = 0.625)
+    val capped = Dedup.ngramJaccardPairs(docs, 0.5,
+      hotDfFrac = 0.01, minDfCap = 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((41L, 42L)),
+      s"capped = ${capped.mkString(",")}")
+    assert(math.abs(capped.head.getDouble(2) - 0.625) < 1e-9)
+  }
+
   test("connected components merges chains transitively") {
     import spark.implicits._
     // a-b, b-c, plus isolated pair d-e: expect {1,2,3}->1 and {8,9}->8
