@@ -52,27 +52,77 @@ object Multimodal {
   implicit val frameEnc: org.apache.spark.sql.Encoder[Frame] =
     Encoders.product[Frame]
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * Everything it returns is a pure function of the input bytes, so
-    * tests are reproducible and the pipeline shape is exercised
-    * honestly.
+  /** Image decode via `javax.imageio` (JDK-builtin — PNG/JPEG/GIF/BMP
+    * read+write with zero external dependencies). Real image bytes get
+    * a REAL decode; non-image bytes (the synthetic corpus, audio/video
+    * blobs) fall back to a deterministic pseudo-decode so the pipeline
+    * shape stays exercised end-to-end in this container. The embedding
+    * remains a stand-in for a vision-model forward pass — that is the
+    * one genuinely un-runnable step here and it is computed from the
+    * decoded luma plane when a real decode succeeded.
     */
   final class StubCodec {
+    import java.awt.image.BufferedImage
+
+    private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+
+    /** ITU-R BT.601 integer luma per pixel; falls back to raw bytes for
+      * non-image blobs.
+      */
     def decodeLuma(bytes: Array[Byte]): Array[Int] =
-      bytes.map(b => (b & 0xff)) // ??? real: image decode to luma plane
+      tryDecode(bytes) match {
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+              out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          out
+        case None => bytes.map(b => (b & 0xff))
+      }
 
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      // ??? real: decode → scale → re-encode; fake: size-preserving slice
-      val out = new Array[Byte](math.min(bytes.length, w * h))
-      System.arraycopy(bytes, 0, out, 0, out.length)
-      out
-    }
+    /** Decode → bilinear scale → PNG re-encode for real images;
+      * size-preserving slice fallback for non-image blobs.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      tryDecode(bytes) match {
+        case Some(img) =>
+          val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g2 = scaled.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null)
+          } finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          bos.toByteArray
+        case None =>
+          val out = new Array[Byte](math.min(bytes.length, w * h))
+          System.arraycopy(bytes, 0, out, 0, out.length)
+          out
+      }
 
-    def embed(bytes: Array[Byte], dims: Int): Array[Float] = {
-      // ??? real: vision model forward pass; fake: byte-histogram projection
+    /** ??? real: vision-model forward pass; stand-in: luma-histogram
+      * projection over the (really) decoded plane.
+      */
+    def embed(bytes: Array[Byte], dims: Int): Array[Float] =
+      embedLuma(decodeLuma(bytes), dims)
+
+    def embedLuma(luma: Array[Int], dims: Int): Array[Float] = {
       val v = new Array[Float](dims)
       var i = 0
-      while (i < bytes.length) { v(i % dims) += (bytes(i) & 0xff) / 255f; i += 1 }
+      while (i < luma.length) { v(i % dims) += luma(i) / 255f; i += 1 }
       v
     }
   }
@@ -88,7 +138,7 @@ object Multimodal {
         val mean = if (luma.isEmpty) 0.0 else luma.sum.toDouble / luma.length
         ImageFeatures(a.asset_id, a.width, a.height,
           math.round(mean * 10000).toDouble / 10000,
-          codec.embed(a.bytes, embedDims))
+          codec.embedLuma(luma, embedDims))
       }
     }
 

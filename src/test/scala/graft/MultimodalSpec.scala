@@ -32,6 +32,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("javax.imageio path: real PNG decode, BT.601 luma, resize round-trip") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val codec = new Multimodal.StubCodec
+    // real decode: 64 pixels of gray 0x80 → luma exactly 128 each
+    val luma = codec.decodeLuma(png)
+    assert(luma.length == 64)
+    assert(luma.forall(_ == 128), s"luma head: ${luma.take(4).mkString(",")}")
+    // real resize: PNG-decodable output with the requested dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(codec.resize(png, 4, 4)))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // and through the distributed mapPartitions path
+    import spark.implicits._
+    val ds = Seq(Multimodal.Asset(1L, "image", png, 8, 8, 0, 0)).toDS()
+    val feats = Multimodal.imageFeatures(ds).collect()
+    assert(feats.length == 1 && feats.head.mean_luma == 128.0)
+  }
+
   test("frame sampling explodes videos at the requested stride") {
     val vids = assets.filter(_.kind == "video").collect()
     val frames = Multimodal.sampleFrames(assets, everyN = 4).collect()
