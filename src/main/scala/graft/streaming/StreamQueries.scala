@@ -152,5 +152,60 @@ object StreamQueries {
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY event_id DESC) AS rn
                FROM events) t
+         WHERE rn = 1 ORDER BY key"""),
+
+    // D19 — the foreachBatch KV SINK as a gate entry (the DynamoDB
+    // writer itself, not just the state view): each update micro-batch
+    // is merged into a persistent snapshot (read-modify-write on the
+    // changed-key set — exactly the reference consumer's per-record
+    // put_item, batched). After termination the snapshot IS the KV
+    // table; the batch latest-per-key oracle must reproduce it. All
+    // merging happens as distributed jobs (anti-join + union + write) —
+    // no driver-side collect.
+    "stream_kv_snapshot" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val snap = java.nio.file.Files
+          .createTempDirectory("graft_kv_snap").toString + "/state"
+        val kv = eventsStream(s, d)
+          .selectExpr("CAST(user_id AS STRING) AS key",
+            "event_id AS seq", "event_type AS value")
+          .as[LatestKV.KV](org.apache.spark.sql.Encoders.product[LatestKV.KV])
+        val q = LatestKV.latest(kv).toDF().writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val sp = batch.sparkSession
+            val existing =
+              try sp.read.parquet(snap)
+              catch { case _: Throwable =>
+                sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  batch.schema)
+              }
+            val merged = existing
+              .join(batch.select(col("key").as("_k")),
+                col("key") === col("_k"), "left_anti")
+              .unionByName(batch)
+            val tmp = snap + ".tmp" + id
+            merged.write.mode("overwrite").parquet(tmp)
+            sp.read.parquet(tmp).write.mode("overwrite").parquet(snap)
+          }
+          .start()
+        q.awaitTermination()
+        // max-seq collapse per key: a no-op for a single AvailableNow
+        // batch, correctness if the source ever splits batches
+        val w = Window.partitionBy("key").orderBy(col("seq").desc)
+        s.read.parquet(snap)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+          .orderBy("key")
+      },
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id AS seq,
+                event_type AS value
+         FROM (SELECT user_id, event_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+               FROM events) t
          WHERE rn = 1 ORDER BY key"""))
 }
