@@ -35,6 +35,7 @@ object SparkEntry {
       similarity.Ivf.defs ++
       similarity.VectorAnalytics.defs ++
       text.TextAnalysis.defs ++
+      text.Pii.defs ++
       text.Curate.defs ++
       multimodal.Multimodal.defs
 
