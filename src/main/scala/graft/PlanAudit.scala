@@ -3,9 +3,41 @@ package graft
 /** Plan-quality audit (SURVEY §5): checks each catalog query's physical
   * plan for the scale-critical properties — filter pushdown, column
   * pruning, broadcast of dim sides, whole-stage codegen coverage — and
-  * prints a one-line report per query. Run: `sbt "runMain graft.PlanAudit"`.
+  * FAILS (exit 1) on violations instead of just printing:
+  *
+  *  - a query whose joins are all dimension-bounded must not
+  *    SortMergeJoin (broadcast/shuffled-hash expected);
+  *  - no query may scan more than 8 columns of a base table unless it
+  *    is allow-listed as genuinely needing them;
+  *  - every query must produce an auditable plan (no AUDIT-ERROR).
+  *
+  * The full per-query metrics are written to PLAN_AUDIT.json so rounds
+  * can be diffed mechanically. Run: `sbt "runMain graft.PlanAudit"`.
   */
 object PlanAudit {
+
+  /** Queries whose every join side is dimension-bounded (nation/region/
+    * customer-level, scalar aggregates, or per-group medians): a
+    * SortMergeJoin in any of these means a broadcast opportunity was
+    * missed. Fact-fact joins (self-joins on exploded shingles/bands,
+    * stream-stream, open-vocabulary term joins) are deliberately NOT
+    * here — shuffle joins are the correct plan for them at scale.
+    */
+  private val dimJoinQueries = Set(
+    "q5_region_revenue", "ref_sales_by_country", "ref_income_by_type",
+    "ref_avg_order_value", "fanout_addresses", "quantile_filter",
+    "q14_brand_share", "q17_small_qty", "q19_disjunctive", "salted_join",
+    "knn_brute", "label_centroids")
+
+  /** Queries that genuinely materialize >8 columns of one scan: the
+    * ingest fan-outs rebuild the producer's full nested document (every
+    * order/customer/lineitem field is part of the wire format), and the
+    * SCD2/window entries emit wide history rows by design.
+    */
+  private val wideScanAllow = Set(
+    "ingest_decode", "fanout_orders", "fanout_products",
+    "fanout_purchases", "fanout_addresses", "scd2_history")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -17,7 +49,11 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+
+    case class Audit(name: String, scans: Int, pushed: Int, bcast: Int,
+        smj: Int, codegen: Int, exchange: Int, wide: Int, err: Option[String])
+
+    val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect() // materialize THIS queryExecution so AQE finalizes
@@ -34,9 +70,41 @@ object PlanAudit {
         // by counting scans that read >8 cols
         val wide = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
           .count(_.group(1).split(",").length > 8)
-        println(f"$name%-22s scans=$scans pushed=$pushed bcast=$bcast smj=$smj codegen=$wsc exchange=$exch wide=$wide")
-      } catch { case e: Throwable => println(s"$name AUDIT-ERROR ${e.getMessage}") }
+        Audit(name, scans, pushed, bcast, smj, wsc, exch, wide, None)
+      } catch { case e: Throwable =>
+        Audit(name, 0, 0, 0, 0, 0, 0, 0,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
     }
+
+    audits.foreach { a =>
+      val status = a.err.map(m => s"AUDIT-ERROR $m").getOrElse(
+        f"scans=${a.scans} pushed=${a.pushed} bcast=${a.bcast} " +
+          f"smj=${a.smj} codegen=${a.codegen} exchange=${a.exchange} wide=${a.wide}")
+      println(f"${a.name}%-22s $status")
+    }
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = audits.map { a =>
+      s"${jstr(a.name)}:{" +
+        s""""scans":${a.scans},"pushed":${a.pushed},"bcast":${a.bcast},""" +
+        s""""smj":${a.smj},"codegen":${a.codegen},"exchange":${a.exchange},""" +
+        s""""wide":${a.wide},"err":${a.err.map(jstr).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AUDIT.json"),
+      (json + "\n").getBytes("UTF-8"))
+
+    val violations =
+      audits.filter(a => a.err.isDefined).map(a => s"${a.name}: ${a.err.get}") ++
+        audits.filter(a => dimJoinQueries(a.name) && a.smj > 0)
+          .map(a => s"${a.name}: ${a.smj} SortMergeJoin on a dim-only join") ++
+        audits.filter(a => a.wide > 0 && !wideScanAllow(a.name))
+          .map(a => s"${a.name}: ${a.wide} scan(s) reading >8 columns")
     spark.stop()
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[plan-audit] VIOLATION $v"))
+      sys.exit(1)
+    }
+    println(s"plan audit clean: ${audits.size} queries, 0 violations")
   }
 }
