@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TypedOps.defs ++
       operators.SqlSurface.defs ++
       operators.TpchMore.defs ++
+      operators.TpchFull.defs ++
       operators.Skew.defs ++
       operators.TopKOps.defs ++
       operators.TimeOps.defs ++
