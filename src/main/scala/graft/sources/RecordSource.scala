@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{EventCodec, SyntheticOrders}
+
+/** Source adapters for the reference's entry point — a stream of wire
+  * records (`terraform/` wires REST API → Kinesis;
+  * `lambda_kinesis_consumer/lambda_function.py:24-27` consumes
+  * `record['kinesis']['data']` base64 payloads keyed by partition key).
+  *
+  * Every adapter normalizes to ONE record shape, the least common
+  * denominator of Kinesis records (partitionKey / data /
+  * approximateArrivalTimestamp) and Kafka records (key / value /
+  * timestamp):
+  *
+  *   partition_key STRING, data STRING (base64 payload), arrival_ts TIMESTAMP
+  *
+  * Downstream (EventCodec.decode → Fanout → sinks) is pure
+  * DataFrame-to-DataFrame and never sees the source choice — swapping
+  * file → Kafka → Kinesis changes exactly one line of pipeline setup.
+  * The connector-backed adapters bind the PUBLIC Spark data-source
+  * names; their jars are not in this sandbox, so they are
+  * compile-checked bindings while `FileRecordSource` carries the
+  * runtime spec (SourcesSpec: wire-stage → stream → decode → fan-out
+  * equals the batch transforms).
+  */
+trait RecordSource {
+
+  /** Streaming DataFrame in the normalized record shape. */
+  def stream(s: SparkSession): DataFrame
+
+  /** The decoded order-event stream (shared by every adapter). */
+  final def events(s: SparkSession): DataFrame =
+    EventCodec.decode(stream(s))
+}
+
+/** File-backed source for tests and backfills: reads wire-format
+  * records previously staged with [[FileRecordSource.stage]]. A real
+  * deployment uses this same adapter to REPLAY an S3 archive of raw
+  * records through the identical pipeline — the batch/stream parity
+  * the unified transforms exist for.
+  */
+final case class FileRecordSource(dir: String) extends RecordSource {
+  def stream(s: SparkSession): DataFrame =
+    s.readStream
+      .schema("partition_key STRING, data STRING, arrival_ts TIMESTAMP")
+      .parquet(dir)
+}
+
+object FileRecordSource {
+
+  /** Produce the wire records the reference's producer would put on the
+    * stream (`python_post_producer/python_producer.py:104-113`: base64
+    * JSON, partition-keyed by customer), from the flat test tables.
+    */
+  def wireRecords(s: SparkSession, sfDir: String): DataFrame = {
+    val nested = SyntheticOrders.nested(s, sfDir)
+    val encoded = EventCodec.encode(nested)
+    nested.select(col("customer_id").as("partition_key"),
+        to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+          .as("arrival_ts"))
+      .withColumn("_rid", monotonically_increasing_id())
+      .join(encoded.withColumn("_rid", monotonically_increasing_id()), "_rid")
+      .select("partition_key", "data", "arrival_ts")
+  }
+
+  def stage(s: SparkSession, sfDir: String, outDir: String): Unit =
+    wireRecords(s, sfDir).write.mode("overwrite").parquet(outDir)
+}
+
+/** Kafka binding: the built-in `kafka` data source
+  * (spark-sql-kafka connector), records normalized from
+  * key/value/timestamp. Binary key/value cast to the wire's string
+  * base64 payload.
+  */
+final case class KafkaRecordSource(bootstrapServers: String, topic: String,
+    startingOffsets: String = "latest") extends RecordSource {
+  def stream(s: SparkSession): DataFrame =
+    s.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("partition_key"),
+        col("value").cast("string").as("data"),
+        col("timestamp").as("arrival_ts"))
+}
+
+/** Kinesis binding: the public Spark Kinesis connector's `aws-kinesis`
+  * data source, records normalized from partitionKey / data /
+  * approximateArrivalTimestamp — the exact fields
+  * `lambda_kinesis_consumer` reads from the Kinesis event payload.
+  */
+final case class KinesisRecordSource(streamName: String, region: String,
+    initialPosition: String = "latest") extends RecordSource {
+  def stream(s: SparkSession): DataFrame =
+    s.readStream
+      .format("aws-kinesis")
+      .option("kinesis.streamName", streamName)
+      .option("kinesis.region", region)
+      .option("kinesis.startingposition", initialPosition)
+      .load()
+      .select(
+        col("partitionKey").cast("string").as("partition_key"),
+        col("data").cast("string").as("data"),
+        col("approximateArrivalTimestamp").as("arrival_ts"))
+}

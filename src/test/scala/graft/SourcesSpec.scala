@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FileRecordSource, KafkaRecordSource, KinesisRecordSource}
+
+/** The source-adapter seam: any RecordSource yields the same decoded
+  * event stream, so the fan-out pipeline is source-agnostic. The
+  * file-backed adapter (also the S3-archive replay path) carries the
+  * runtime parity proof; the Kafka/Kinesis bindings are compile-checked
+  * shapes whose connectors don't exist in this sandbox.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("file record source streams wire records that decode to the batch events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire").toString
+    FileRecordSource.stage(spark, sf, dir)
+
+    // wire shape: every staged record carries key + payload + arrival ts
+    val staged = spark.read.parquet(dir)
+    assert(staged.columns.sorted.toSeq == Seq("arrival_ts", "data", "partition_key"))
+    assert(staged.filter(col("data").isNull || col("partition_key").isNull).count() == 0)
+
+    val decoded = graft.streaming.StreamQueries.runToMemory(
+      FileRecordSource(dir).events(spark), "append")
+      .select("order_id", "status", "customer_id")
+    val batch = graft.ingest.SyntheticOrders.nested(spark, sf)
+      .select("order_id", "status", "customer_id")
+    val got = decoded.collect().map(_.toString).sorted.toSeq
+    val want = batch.collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("connector bindings normalize to the shared record shape") {
+    // construction is pure config; no connector jar is loaded until
+    // stream() is called, which this sandbox cannot do
+    val kafka = KafkaRecordSource("broker:9092", "orders")
+    val kinesis = KinesisRecordSource("orders-stream", "eu-west-1")
+    assert(kafka.topic == "orders" && kinesis.streamName == "orders-stream")
+  }
+}
