@@ -34,6 +34,7 @@ object SparkEntry {
       dedup.Clusters.defs ++
       similarity.Knn.defs ++
       similarity.Ivf.defs ++
+      similarity.Quantize.defs ++
       similarity.VectorAnalytics.defs ++
       text.TextAnalysis.defs ++
       text.Pii.defs ++

@@ -147,6 +147,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@3 = $recall")
   }
 
+  test("int8-quantized top-k recalls almost all exact neighbors") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Knn.bruteForce(q, embs, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("knn_quantized")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"quantized recall@3 = $recall")
+  }
+
   test("custom CosineTopK plan equals brute-force composition") {
     val q = embs.filter(col("vec_id") < 10)
     val custom = graft.plans.CosineTopK.topK(embs, q, 3)
