@@ -47,6 +47,10 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // plan strings truncate ReadSchema at 100 chars by default, which
+      // leaves an unclosed `struct<...` that the width regex would run
+      // through — print schemas in full so column counts are exact
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
