@@ -71,9 +71,25 @@ object PlanAudit {
         val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
         val exch = "Exchange".r.findAllIn(plan).size
         // full-width scans (ReadSchema listing every column) are flagged
-        // by counting scans that read >8 cols
-        val wide = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
-          .count(_.group(1).split(",").length > 8)
+        // by counting scans that read >8 TOP-LEVEL cols: nested /
+        // parameterized types (array<...>, decimal(p,s), inner structs)
+        // contain '>' and ',' themselves, so count commas at depth 1 of
+        // a bracket walk instead of regex-splitting
+        val wide = "ReadSchema: struct<".r.findAllMatchIn(plan).count { m =>
+          var i = m.end
+          var depth = 1
+          var cols = 1
+          while (depth > 0 && i < plan.length) {
+            plan.charAt(i) match {
+              case '<' | '(' => depth += 1
+              case '>' | ')' => depth -= 1
+              case ',' if depth == 1 => cols += 1
+              case _ => ()
+            }
+            i += 1
+          }
+          cols > 8
+        }
         Audit(name, scans, pushed, bcast, smj, wsc, exch, wide, None)
       } catch { case e: Throwable =>
         Audit(name, 0, 0, 0, 0, 0, 0, 0,
@@ -88,7 +104,18 @@ object PlanAudit {
       println(f"${a.name}%-22s $status")
     }
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape incl. control chars — Spark exception
+    // messages are routinely multi-line, and one raw \n would make
+    // PLAN_AUDIT.json unparseable exactly when a round breaks
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json = audits.map { a =>
       s"${jstr(a.name)}:{" +
         s""""scans":${a.scans},"pushed":${a.pushed},"bcast":${a.bcast},""" +

@@ -81,11 +81,18 @@ object EventCodec {
   }
 
   def encode(events: DataFrame): DataFrame =
-    events.select(
-      // Spark's base64 is MIME-chunked (CRLF every 76 chars) unless the
-      // legacy conf says otherwise; the wire format (python b64encode)
-      // is continuous — strip the line breaks so one record = one line.
-      regexp_replace(
-        base64(to_json(struct(events.columns.map(col).toIndexedSeq: _*))),
-        "[\\r\\n]", "").as("data"))
+    events.select(encodeCol(events).as("data"))
+
+  /** The encode expression as a Column, for callers that must attach the
+    * payload alongside other columns of the SAME row (zipping two
+    * independently-evaluated frames back together by position is not
+    * deterministic over shuffle-produced inputs).
+    */
+  def encodeCol(events: DataFrame): org.apache.spark.sql.Column =
+    // Spark's base64 is MIME-chunked (CRLF every 76 chars) unless the
+    // legacy conf says otherwise; the wire format (python b64encode)
+    // is continuous — strip the line breaks so one record = one line.
+    regexp_replace(
+      base64(to_json(struct(events.columns.map(col).toIndexedSeq: _*))),
+      "[\\r\\n]", "")
 }

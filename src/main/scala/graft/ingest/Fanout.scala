@@ -106,17 +106,30 @@ object SyntheticOrders {
     * entries (A1, A3–A6, C16) and Verify/Bench run them back-to-back in
     * one session — without memoization the collect_list aggregation
     * re-executes for every entry (and for every bench repetition).
-    * Cache the MATERIALIZED frame per (session, sfDir): persist() makes
-    * the first action pay the build and later consumers read executor-
-    * local blocks. Keyed weakly on the session so test sessions don't
-    * leak storage across JVM-wide suites.
+    * Cache the MATERIALIZED frame: persist() makes the first action pay
+    * the build and later consumers read executor-local blocks.
+    *
+    * A SINGLE slot, not a map: the drivers (Verify, Bench, one shared
+    * test session) work one (session, sfDir) at a time, and an
+    * unbounded strong-ref map would pin stopped sessions and their
+    * persisted blocks forever. On a key change the previous frame is
+    * unpersisted (best-effort — its session may already be stopped).
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  @volatile private var memo: Option[((SparkSession, String), DataFrame)] = None
 
-  def nested(s: SparkSession, d: String): DataFrame =
-    memo.computeIfAbsent((s, d), _ => build(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def nested(s: SparkSession, d: String): DataFrame = synchronized {
+    memo match {
+      case Some(((`s`, `d`), df)) => df
+      case prev =>
+        prev.foreach { case (_, old) =>
+          try old.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        val df = build(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        memo = Some(((s, d), df))
+        df
+    }
+  }
 
   private def build(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * transforms.
   *
   * The Spark-side plumbing — schema, encoders, `mapPartitions` batch
-  * shape, partition sizing — is real and tested. The actual media
-  * decoding is STUBBED (`StubCodec`): this container has no image/audio
-  * libraries, so the stub derives deterministic pseudo-content from the
-  * bytes. Swapping `StubCodec` for a JNI/javacv decoder changes no
-  * schema or plan shape: the stub is the only non-production line.
+  * shape, partition sizing — is real and tested, and IMAGE decode/resize
+  * is real too (`javax.imageio`, JDK-builtin). Non-image blobs
+  * (audio/video, and the synthetic text-byte corpus) fall back to a
+  * deterministic pseudo-decode, and the embedding remains a stand-in
+  * for a vision-model forward pass — swapping those for a JNI/javacv
+  * decoder or a real model changes no schema or plan shape.
   *
   * Why `mapPartitions` (preference (d) in the custom-op ladder): media
   * decode is genuinely imperative per-blob native-library work — exactly
@@ -63,6 +64,11 @@ object Multimodal {
     */
   final class StubCodec {
     import java.awt.image.BufferedImage
+
+    // the blobs are already in memory; without this ImageIO spools every
+    // read/write through a disk-backed cache file — per-record executor
+    // disk I/O for nothing (JVM-global flag, idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
 
     private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))

@@ -56,13 +56,14 @@ object FileRecordSource {
     */
   def wireRecords(s: SparkSession, sfDir: String): DataFrame = {
     val nested = SyntheticOrders.nested(s, sfDir)
-    val encoded = EventCodec.encode(nested)
-    nested.select(col("customer_id").as("partition_key"),
-        to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
-          .as("arrival_ts"))
-      .withColumn("_rid", monotonically_increasing_id())
-      .join(encoded.withColumn("_rid", monotonically_increasing_id()), "_rid")
-      .select("partition_key", "data", "arrival_ts")
+    // key, payload, and timestamp all come from ONE select over the same
+    // row — never zip two evaluations of a shuffle-produced frame back
+    // together by position
+    nested.select(
+      col("customer_id").as("partition_key"),
+      EventCodec.encodeCol(nested).as("data"),
+      to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+        .as("arrival_ts"))
   }
 
   def stage(s: SparkSession, sfDir: String, outDir: String): Unit =

@@ -189,6 +189,12 @@ object StreamQueries {
             val tmp = snap + ".tmp" + id
             merged.write.mode("overwrite").parquet(tmp)
             sp.read.parquet(tmp).write.mode("overwrite").parquet(snap)
+            // the tmp generation is dead once copied into the snapshot —
+            // without cleanup, disk grows O(batches × snapshot size)
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              sp.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            ()
           }
           .start()
         q.awaitTermination()
