@@ -153,6 +153,85 @@ object Dedup {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** DuckDB-side replica of `HashOps.SimHash64` — murmur3_32
+    * (scala.util.hashing.MurmurHash3.bytesHash, bit-exact: body fold via
+    * list_reduce, tail mix, finalizer; 32-bit wraparound through HUGEINT
+    * intermediates) over each distinct token, bit votes weighted by
+    * occurrence count, signed-64 signature assembly. Docs are ASCII at
+    * every test SF so ord(tok[i]) equals the Scala byte walk.
+    *
+    * This makes dedup_simhash fully oracle-checkable: the 4×16-bit
+    * banding guarantees every hamming≤3 pair is a candidate, so the
+    * operator's output is exactly "all pairs with hamming(sig) ≤ 3" —
+    * reproducible once the signature is.
+    */
+  private object SimhashSql {
+    private def castB(e: String) = s"CAST($e AS BIGINT)"
+    private def mulMod(e: String, c: String) =
+      castB(s"((CAST($e AS HUGEINT) * $c) % 4294967296)")
+    private def rotl(e: String, r: Int) =
+      s"((($e) * ${1L << r}) % 4294967296 + ($e) // ${1L << (32 - r)})"
+    private def k3(kraw: String) =
+      mulMod(rotl(mulMod(kraw, "3432918353"), 15), "461845907")
+    private def mixh(h: String, kr: String) =
+      s"((${rotl(s"xor($h, ${k3(kr)})", 13)}) * 5 % 4294967296 + 3864292196) % 4294967296"
+    private def mm32(seed: Long): String = {
+      val body =
+        s"list_reduce(list_prepend(${castB(seed.toString)}, chunks), (h, kr) -> ${mixh("h", "kr")})"
+      val tailK = "(CASE WHEN n%4 >= 1 THEN bl[(n//4)*4+1] ELSE 0 END" +
+        " + CASE WHEN n%4 >= 2 THEN bl[(n//4)*4+2]*256 ELSE 0 END" +
+        " + CASE WHEN n%4 = 3 THEN bl[(n//4)*4+3]*65536 ELSE 0 END)"
+      val ht = s"CASE WHEN n%4 = 0 THEN $body ELSE xor($body, ${k3(tailK)}) END"
+      s"xor($ht, n)"
+    }
+
+    val pairsSql: String =
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents),
+          tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+          b AS (SELECT doc_id, cnt,
+            [ord(tok[i]) for i in range(1, length(tok)+1)] AS bl,
+            length(tok) AS n FROM tc),
+          c AS (SELECT doc_id, cnt, bl, n,
+            list_transform(range(0, n//4), i ->
+              bl[4*i+1] + bl[4*i+2]*256 + bl[4*i+3]*65536 + bl[4*i+4]*16777216)
+              AS chunks
+            FROM b),
+          h0 AS (SELECT doc_id, cnt, ${mm32(0x9747b28cL)} AS f0a,
+                        ${mm32(0x85ebca6bL)} AS f0b FROM c),
+          h1 AS (SELECT doc_id, cnt, xor(f0a, f0a//65536) AS f1a,
+                        xor(f0b, f0b//65536) AS f1b FROM h0),
+          h2 AS (SELECT doc_id, cnt, ${mulMod("f1a", "2246822507")} AS f2a,
+                        ${mulMod("f1b", "2246822507")} AS f2b FROM h1),
+          h3 AS (SELECT doc_id, cnt, xor(f2a, f2a//8192) AS f3a,
+                        xor(f2b, f2b//8192) AS f3b FROM h2),
+          h4 AS (SELECT doc_id, cnt, ${mulMod("f3a", "3266489909")} AS f4a,
+                        ${mulMod("f3b", "3266489909")} AS f4b FROM h3),
+          hh AS (SELECT doc_id, cnt, xor(f4a, f4a//65536) AS ua,
+                        xor(f4b, f4b//65536) AS ub FROM h4),
+          bits AS (
+            SELECT doc_id, b,
+                   sum(cnt * CASE WHEN (CASE WHEN b < 32 THEN (ub >> b) & 1
+                                         ELSE (ua >> (b - 32)) & 1 END) = 1
+                                  THEN 1 ELSE -1 END) AS votes
+            FROM hh, unnest(range(0, 64)) AS u(b)
+            GROUP BY 1, 2),
+          sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN votes > 0 AND b < 63
+                                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                        - CASE WHEN max(CASE WHEN b = 63 AND votes > 0
+                                        THEN 1 ELSE 0 END) = 1
+                               THEN 9223372036854775808 ELSE 0 END AS BIGINT) AS s
+            FROM bits GROUP BY 1)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.s, b.s)) <= 3
+          ORDER BY doc_a, doc_b"""
+  }
+
   /** DuckDB-side exact-double cosine (matches the Spark expression's
     * arithmetic order bit-for-bit; the builtin list_cosine_similarity
     * accumulates in float32 and diverges at ~1e-7).
@@ -209,11 +288,13 @@ object Dedup {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // D4 — SimHash (rows-only; spec checks hamming properties).
+    // D4 — SimHash, oracle-checked: DuckDB recomputes the murmur3-exact
+    // 64-bit signatures (SimhashSql) and the banding guarantee reduces
+    // the operator's output to "all pairs with hamming ≤ 3".
     "dedup_simhash" -> QueryDef(
       (s, d) => simhashPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      None),
+      SimhashSql.pairsSql),
 
     // D5 — embedding cosine near-dup, label-blocked.
     "dedup_embedding" -> QueryDef(
