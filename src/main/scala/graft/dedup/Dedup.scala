@@ -165,7 +165,7 @@ object Dedup {
     * operator's output is exactly "all pairs with hamming(sig) ≤ 3" —
     * reproducible once the signature is.
     */
-  private object SimhashSql {
+  private[graft] object MurmurSql {
     private def castB(e: String) = s"CAST($e AS BIGINT)"
     private def mulMod(e: String, c: String) =
       castB(s"((CAST($e AS HUGEINT) * $c) % 4294967296)")
@@ -185,7 +185,182 @@ object Dedup {
       s"xor($ht, n)"
     }
 
-    val pairsSql: String =
+    /** Shared finalizer stages: mm32 body+tail (h0) through the two
+      * fmix multiply-xor rounds, producing UNSIGNED 32-bit columns
+      * `ua`/`ub` for the two seeds over a CTE named `c` exposing
+      * (doc_id, carry..., bl, n, chunks).
+      */
+    private def fmixStagesP(p: String, carry: String): String =
+      s"""${p}h0 AS (SELECT doc_id, $carry ${mm32(0x9747b28cL)} AS f0a,
+                        ${mm32(0x85ebca6bL)} AS f0b FROM ${p}c),
+          ${p}h1 AS (SELECT doc_id, $carry xor(f0a, f0a//65536) AS f1a,
+                        xor(f0b, f0b//65536) AS f1b FROM ${p}h0),
+          ${p}h2 AS (SELECT doc_id, $carry ${mulMod("f1a", "2246822507")} AS f2a,
+                        ${mulMod("f1b", "2246822507")} AS f2b FROM ${p}h1),
+          ${p}h3 AS (SELECT doc_id, $carry xor(f2a, f2a//8192) AS f3a,
+                        xor(f2b, f2b//8192) AS f3b FROM ${p}h2),
+          ${p}h4 AS (SELECT doc_id, $carry ${mulMod("f3a", "3266489909")} AS f4a,
+                        ${mulMod("f3b", "3266489909")} AS f4b FROM ${p}h3),
+          ${p}hh AS (SELECT doc_id, $carry xor(f4a, f4a//65536) AS ua,
+                        xor(f4b, f4b//65536) AS ub FROM ${p}h4)"""
+
+    private def fmixStages(carry: String): String = fmixStagesP("", carry)
+
+    /** Byte/chunk prep for a token column `tok` in CTE `src`. */
+    private def tokPrepP(p: String, src: String, carry: String): String =
+      s"""${p}b AS (SELECT doc_id, $carry
+            [ord(tok[i]) for i in range(1, length(tok)+1)] AS bl,
+            length(tok) AS n FROM $src),
+          ${p}c AS (SELECT doc_id, $carry bl, n,
+            list_transform(range(0, n//4), i ->
+              bl[4*i+1] + bl[4*i+2]*256 + bl[4*i+3]*65536 + bl[4*i+4]*16777216)
+              AS chunks
+            FROM ${p}b)"""
+
+    private def tokPrep(src: String, carry: String): String =
+      tokPrepP("", src, carry)
+
+    /** sql_minhash oracle: per-doc distinct-shingle count, first
+      * minhash value (= min seed-A murmur over shingles, since
+      * permutation 0 is `h1 + 0·h2`), and the 64-bit simhash — two
+      * murmur chains (shingle-keyed `s`-prefix, token-keyed `t`-prefix)
+      * in one statement.
+      */
+    val sqlMinhashSql: String =
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)]) AS shingles
+            FROM toks),
+          shex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+          ${tokPrepP("s", "shex", "")},
+          ${fmixStagesP("s", "")},
+          mh AS (SELECT doc_id, min(ua) AS mh0 FROM shh GROUP BY doc_id),
+          tt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+          ttc AS (SELECT doc_id, tok, count(*) AS cnt FROM tt GROUP BY 1, 2),
+          ${tokPrepP("t", "ttc", "cnt,")},
+          ${fmixStagesP("t", "cnt,")},
+          bits AS (
+            SELECT doc_id, b,
+                   sum(cnt * CASE WHEN (CASE WHEN b < 32 THEN (ub >> b) & 1
+                                         ELSE (ua >> (b - 32)) & 1 END) = 1
+                                  THEN 1 ELSE -1 END) AS votes
+            FROM thh, unnest(range(0, 64)) AS u(b)
+            GROUP BY 1, 2),
+          sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN votes > 0 AND b < 63
+                                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                        - CASE WHEN max(CASE WHEN b = 63 AND votes > 0
+                                        THEN 1 ELSE 0 END) = 1
+                               THEN 9223372036854775808 ELSE 0 END AS BIGINT) AS s
+            FROM bits GROUP BY 1)
+          SELECT sh.doc_id,
+                 CAST(len(sh.shingles) AS INT) AS n_shingles,
+                 COALESCE(mh.mh0, 9223372036854775807) AS mh0,
+                 sig.s AS sh
+          FROM sh
+          LEFT JOIN mh ON mh.doc_id = sh.doc_id
+          JOIN sig ON sig.doc_id = sh.doc_id
+          ORDER BY sh.doc_id"""
+
+    /** dedup_minhash oracle: murmur3-exact 128-perm minhash signatures
+      * (Carter–Wegman `h1 + i·h2` over the two seeds), candidate pairs
+      * via 32-band × 4-row SLICE equality (band-hash equality in Spark
+      * ⟺ slice equality, collisions aside), exact-Jaccard verify on
+      * the shingle sets — the whole operator, reproduced in SQL.
+      */
+    val minhashPairsSql: String =
+      s"""WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)]) AS shingles
+            FROM toks WHERE len(t) >= 3),
+          ex AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+          ${tokPrep("ex", "tok,")},
+          ${fmixStages("")},
+          uls AS (SELECT doc_id, list([ua, ub | 1]) AS ul FROM hh GROUP BY doc_id),
+          sig AS (SELECT doc_id,
+            list_transform(range(0, 128), i ->
+              list_min(list_transform(ul, p -> p[1] + i*p[2]))) AS s
+            FROM uls),
+          bands AS (SELECT doc_id, bnd, s[4*bnd+1:4*bnd+4] AS bkey
+            FROM sig, unnest(range(0, 32)) AS u(bnd)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                     AS j
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
+          WHERE j >= 0.5 ORDER BY doc_a, doc_b"""
+
+    /** knn_lsh oracle: the random-hyperplane signatures replicated
+      * bit-for-bit — plane components are
+      * `MurmurHash3.productHash((plane, dim), 0x5bd1e995)` (Scala 2.13
+      * mixes the "Tuple2" prefix hash first — constant 2516344202)
+      * divided by Int.MaxValue; dot products accumulate in the same
+      * sequential order (DuckDB list_sum ≡ the Scala fold, verified
+      * 500/500 signatures); then 8×4-bit buckets, candidate join,
+      * exact-cosine rerank.
+      */
+    val knnLshSql: String = {
+      val mixChain = mixh(mixh(mixh("1540483477", "2516344202"), "p"), "i")
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      val cos = s"(${dot("qe.embedding", "ce.embedding")} / " +
+        s"(sqrt(${dot("qe.embedding", "qe.embedding")}) * sqrt(${dot("ce.embedding", "ce.embedding")})))"
+      s"""WITH pi AS (SELECT p, i
+            FROM unnest(range(0,32)) t(p), unnest(range(0,64)) u(i)),
+          m0 AS (SELECT p, i, $mixChain AS h FROM pi),
+          a0 AS (SELECT p, i, xor(xor(h, 2), xor(h, 2)//65536) AS a1 FROM m0),
+          a1s AS (SELECT p, i, ${mulMod("a1", "2246822507")} AS a2 FROM a0),
+          a2s AS (SELECT p, i, xor(a2, a2//8192) AS a3 FROM a1s),
+          a3s AS (SELECT p, i, ${mulMod("a3", "3266489909")} AS a4 FROM a2s),
+          a4s AS (SELECT p, i, xor(a4, a4//65536) AS uu FROM a3s),
+          comp AS (SELECT p, i,
+            (CASE WHEN uu >= 2147483648 THEN uu - 4294967296 ELSE uu END)
+              / 2147483647.0 AS v
+            FROM a4s),
+          planes AS (SELECT p, list(v ORDER BY i) AS pl FROM comp GROUP BY p),
+          dots AS (SELECT e.vec_id, pl.p,
+            list_sum(list_transform(range(1, 65), i ->
+              CAST(e.embedding[i] AS DOUBLE) * pl.pl[i])) AS dot
+            FROM embeddings e, planes pl),
+          sigs AS (SELECT vec_id,
+            CAST(sum(CASE WHEN dot >= 0 THEN
+              CASE WHEN p = 31 THEN -2147483648
+                   ELSE (CAST(1 AS BIGINT) << p) END
+              ELSE 0 END) AS BIGINT) AS sig
+            FROM dots GROUP BY vec_id),
+          buckets AS (SELECT vec_id, t, (sig >> (t*4)) & 15 AS bucket
+            FROM sigs, unnest(range(0, 8)) u(t)),
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+          scored AS (SELECT query_id, neighbor_id, $cos AS cos
+            FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+                      JOIN embeddings ce ON ce.vec_id = neighbor_id),
+          ranked AS (SELECT query_id, neighbor_id, cos,
+            CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+    }
+
+    val simhashPairsSql: String =
       s"""WITH toks AS (
             SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
             FROM documents),
@@ -281,12 +456,14 @@ object Dedup {
          FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
          ORDER BY doc_a, doc_b"""),
 
-    // D3 — MinHash LSH (rows-only: hash permutations are not
-    // SQL-portable; spec checks recall vs dedup_ngram).
+    // D3 — MinHash LSH, oracle-checked: the DuckDB replica recomputes
+    // the murmur3-exact signatures, the banding, and the Jaccard
+    // verify (MurmurSql.minhashPairsSql); spec additionally checks
+    // recall vs dedup_ngram.
     "dedup_minhash" -> QueryDef(
       (s, d) => minhashPairs(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),
-      None),
+      MurmurSql.minhashPairsSql),
 
     // D4 — SimHash, oracle-checked: DuckDB recomputes the murmur3-exact
     // 64-bit signatures (SimhashSql) and the banding guarantee reduces
@@ -294,7 +471,7 @@ object Dedup {
     "dedup_simhash" -> QueryDef(
       (s, d) => simhashPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      SimhashSql.pairsSql),
+      MurmurSql.simhashPairsSql),
 
     // D5 — embedding cosine near-dup, label-blocked.
     "dedup_embedding" -> QueryDef(

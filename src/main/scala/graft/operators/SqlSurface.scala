@@ -34,8 +34,10 @@ object SqlSurface {
             ON a.label = b.label AND a.vec_id < b.vec_id
           GROUP BY a.label ORDER BY a.label"""),
 
-    // SQL shingling + minhash through registered functions (rows-only:
-    // hash values are engine-specific).
+    // SQL shingling + minhash through registered functions —
+    // oracle-checked: the DuckDB side recomputes the murmur3-exact
+    // hash values (Dedup.MurmurSql), so "engine-specific" no longer
+    // means "unverifiable".
     "sql_minhash" -> QueryDef(
       (s, d) => {
         GraftExtensions.register(s)
@@ -47,7 +49,7 @@ object SqlSurface {
                     simhash64(split(trim(text), '\\s+')) AS sh
              FROM documents_v ORDER BY doc_id""")
       },
-      None),
+      graft.dedup.Dedup.MurmurSql.sqlMinhashSql),
 
     // argmax/argmin: the order id carrying each status's extreme price.
     // The selector key folds the tiebreak into exact double arithmetic

@@ -100,12 +100,15 @@ object Knn {
           SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
           FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
 
-    // D7 — LSH ANN (rows-only; spec checks recall vs knn_brute).
+    // D7 — LSH ANN, oracle-checked: the DuckDB replica recomputes the
+    // hyperplane signatures bit-for-bit (Dedup.MurmurSql.knnLshSql),
+    // the bucketing, and the exact rerank; spec additionally checks
+    // recall vs knn_brute.
     "knn_lsh" -> QueryDef(
       (s, d) =>
         lsh(queriesOf(s, d), Tables.embeddings(s, d), 3)
           .orderBy("query_id", "rank"),
-      None),
+      graft.dedup.Dedup.MurmurSql.knnLshSql),
 
     // D6b — same semantics as knn_brute through the custom
     // LogicalPlan/Strategy/SparkPlan operator (plans.CosineTopK):
