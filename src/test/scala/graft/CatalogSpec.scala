@@ -50,6 +50,30 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SURVEY §2 inventory and the registered catalog agree both ways") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(survey.indexOf("## §2"), survey.indexOf("## §3"))
+    // backticked lowercase tokens in the last cell of each §2 table row
+    // are catalog keys ("spec" marks spec-only rows; CamelCase tokens
+    // are spec class names)
+    val keyRe = "`([a-z][a-z0-9_]*)`".r
+    val claimed = s2.linesIterator
+      .filter(l => l.trim.startsWith("|") && l.count(_ == '|') >= 3)
+      .flatMap { l =>
+        val lastCell = l.trim.stripSuffix("|").split("\\|").last
+        keyRe.findAllMatchIn(lastCell).map(_.group(1))
+      }
+      .filterNot(Set("spec", "key"))
+      .toSet
+    val registered = SparkEntry.queries.keySet
+    val phantom = claimed -- registered
+    assert(phantom.isEmpty, s"SURVEY §2 claims unregistered keys: $phantom")
+    val undocumented = registered.filterNot(k => s2.contains(s"`$k`"))
+    assert(undocumented.isEmpty,
+      s"catalog keys missing from SURVEY §2: $undocumented")
+  }
+
   test("flagship analytics queries return non-empty results") {
     for (name <- Seq("ref_avg_order_value", "ref_top_products",
         "ref_order_customer", "ref_income_by_type", "ref_sales_by_country",
