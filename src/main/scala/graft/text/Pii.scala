@@ -120,5 +120,45 @@ object Pii {
                 round(avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 4)
                   AS avg_logprob
          FROM toks JOIN vocab USING (term) CROSS JOIN n
+         GROUP BY doc_id ORDER BY doc_id"""),
+
+    // D28 — bigram LM scoring: conditional log-probability
+    // ln(c(w1,w2)/c(w1·)) averaged per document — the next-order
+    // perplexity proxy after D26. The bigram frame shuffles once on
+    // (w1,w2) for the numerator counts and once on w1 for the prefix
+    // counts; both joins are plain shuffle joins (open vocabulary, no
+    // broadcast), then one shuffle back on doc_id for the mean.
+    "lm_bigram_score" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("t", split(trim(col("text")), "\\s+"))
+          .filter(size(col("t")) >= 2)
+        val bg = docs.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+            struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + lit(1)).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+              .as("avg_bigram_logprob"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(range(1, len(t))) u(i)
+           WHERE len(t) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4)
+                  AS avg_bigram_logprob
+         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
          GROUP BY doc_id ORDER BY doc_id"""))
 }
