@@ -150,6 +150,35 @@ object IngestQueries {
                 count(*) AS n_orders
          FROM orders GROUP BY 1, 2 ORDER BY year, month"""),
 
+    // A15 — compaction as a gate entry: fragment the events table into
+    // 32 small files (a Firehose buffer-flush directory), compact to
+    // ~4 MB targets clustered by user_id, and aggregate the COMPACTED
+    // copy — the oracle aggregates the raw table, so a single lost or
+    // duplicated row during the rewrite breaks the hash.
+    "compact_roundtrip" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_compact").toString
+        val frag = tmp + "/frag"
+        val out = tmp + "/compacted"
+        Tables.events(s, d).repartition(32)
+          .write.mode("overwrite").parquet(frag)
+        Compaction.compact(s, frag, out,
+          targetBytes = 4L * 1024 * 1024, clusterBy = Seq("user_id"))
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 4).as("sum_value"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+      },
+      """SELECT count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                round(sum(value), 4) AS sum_value,
+                min(event_id) AS min_id,
+                max(event_id) AS max_id
+         FROM events"""),
+
     // A9 — DynamoDB latest-per-key upsert view
     // (`lambda_kinesis_consumer:33-48` put_item = last write wins):
     // arg-max by arrival order (event_id) per key. One shuffle on the

@@ -12,6 +12,43 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("checkpoint restart resumes exactly-once: no loss, no duplicates") {
+    // the ops property a 100 TB ingest lives on: kill the query, add
+    // input, restart from the SAME checkpoint — every record lands in
+    // the sink exactly once
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-ck-in").toString
+    val outDir = Files.createTempDirectory("graft-ck-out").toString + "/sink"
+    val ckDir = Files.createTempDirectory("graft-ck-ck").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, v STRING")
+        .parquet(inDir)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    // second batch arrives while the query is DOWN; restart resumes
+    // from the checkpointed offset — batch 1 must not be re-emitted
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    assert(got == Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      s"exactly-once violated: $got")
+  }
+
   test("streaming fanout writes the same rows as the batch transforms") {
     import spark.implicits._
     // wire-encode the synthetic events, feed them as a file stream
