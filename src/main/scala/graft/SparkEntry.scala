@@ -39,6 +39,7 @@ object SparkEntry {
       text.TextAnalysis.defs ++
       text.Pii.defs ++
       text.Curate.defs ++
+      text.Contamination.defs ++
       multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

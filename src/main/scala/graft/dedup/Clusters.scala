@@ -118,5 +118,74 @@ object Clusters {
            UNION
            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          SELECT a AS doc_id, min(b) AS cluster_rep
-         FROM reach GROUP BY a ORDER BY doc_id"""))
+         FROM reach GROUP BY a ORDER BY doc_id"""),
+
+    // D14b — canonical-representative selection: after clustering, a
+    // curation pipeline keeps ONE doc per near-dup cluster — the
+    // highest-quality member (here: longest text, ties to the smallest
+    // id), not an arbitrary one. The per-cluster argmax is a window
+    // over cluster_rep: clusters are near-dup groups and therefore
+    // small, so the partition-by never sees a skewed key the way a
+    // global sort would. Oracle: the same recursive-CTE closure as
+    // dedup_clusters, extended with the argmax window.
+    "dedup_canonical" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val labels = connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val w = Window.partitionBy("cluster_rep")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        labels
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_rep")))
+          .filter(col("rn") === 1)
+          .select(col("cluster_rep"), col("doc_id").as("keep_doc"),
+            col("n_chars").as("keep_chars"), col("cluster_size"))
+          .orderBy("cluster_rep")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS doc_id, min(b) AS cluster_rep
+           FROM reach GROUP BY a),
+         ranked AS (
+           SELECT l.cluster_rep, l.doc_id, d.n_chars,
+                  row_number() OVER
+                    (PARTITION BY l.cluster_rep
+                     ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+                  count(*) OVER (PARTITION BY l.cluster_rep)
+                    AS cluster_size
+           FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         SELECT cluster_rep, doc_id AS keep_doc,
+                CAST(n_chars AS BIGINT) AS keep_chars,
+                CAST(cluster_size AS BIGINT) AS cluster_size
+         FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
 }

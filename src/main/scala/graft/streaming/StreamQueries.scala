@@ -213,5 +213,45 @@ object StreamQueries {
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY event_id DESC) AS rn
                FROM events) t
-         WHERE rn = 1 ORDER BY key"""))
+         WHERE rn = 1 ORDER BY key"""),
+
+    // A13 gate twin — STREAMING session windows: the same native
+    // session_window aggregation the batch entry C13b runs, executed as
+    // a stateful streaming query (gap-merged session state, complete
+    // mode so every merged session is in the final sink table). The
+    // oracle is C13b's lag+running-sum formulation over the batch
+    // table: three formulations (batch session_window, streaming
+    // session state, SQL window algebra), one fixpoint.
+    "stream_sessions" -> QueryDef(
+      (s, d) =>
+        runToMemory(
+          eventsStream(s, d)
+            .groupBy(session_window(col("ts"), "30 minutes"),
+              col("user_id"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum("value"), 4).as("session_value"))
+            .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"), col("session_value")),
+          "complete")
+          .orderBy("user_id", "session_start"),
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                            > 1800 * 1000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM flagged)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+                round(sum(value), 4) AS session_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_start"""))
 }
