@@ -40,6 +40,7 @@ object SparkEntry {
       text.Pii.defs ++
       text.Curate.defs ++
       text.Contamination.defs ++
+      text.CorpusIndex.defs ++
       multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -61,5 +61,64 @@ object VectorAnalytics {
            FROM toks WHERE len(t) >= 2)
          SELECT bigram, count(*) AS n_docs
          FROM bg GROUP BY bigram
-         ORDER BY n_docs DESC, bigram LIMIT 20"""))
+         ORDER BY n_docs DESC, bigram LIMIT 20"""),
+
+    // D33 — nearest-centroid assignment (the k-means predict step /
+    // cluster-labeling pass): per-label centroids → assign every vector
+    // to its nearest centroid by squared L2 → label-vs-predicted
+    // confusion counts. Centroids are label-count-bounded (genuinely
+    // small), so the broadcast is safe at any corpus size; the scan
+    // side streams once with no shuffle until the final tiny count agg.
+    // Determinism across engines: centroids are rounded to 4 dp on
+    // BOTH sides before the distance fold, and the fold itself is
+    // sequential over dims in both engines (Spark `aggregate`, DuckDB
+    // `list_sum`), so distances are bit-identical and the argmin
+    // (ties → smaller label) cannot diverge.
+    "centroid_assign" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val cent = emb
+          .select(col("label").as("c_label"), posexplode(col("v")))
+          .groupBy("c_label", "pos")
+          .agg(round(avg("col"), 4).as("m"))
+          .groupBy("c_label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c"))
+        val w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+        emb.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("c_label").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred_label")
+      },
+      """WITH dims AS (
+           SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS c_label, pos, round(avg(x), 4) AS m
+           FROM dims GROUP BY 1, 2),
+         carr AS (
+           SELECT c_label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
+         scored AS (
+           SELECT e.vec_id, e.label, c.c_label,
+                  list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                            for i in range(1, 65)]) AS dist
+           FROM embeddings e, carr c),
+         best AS (
+           SELECT vec_id, label, c_label,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, c_label) AS rn
+           FROM scored)
+         SELECT label, c_label AS pred_label, count(*) AS n
+         FROM best WHERE rn = 1 GROUP BY 1, 2
+         ORDER BY label, pred_label"""))
 }

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
+import graft.{QueryDef, Tables}
+
+/** Corpus indexing + exact-substring dedup (SURVEY §2 D31/D32): the
+  * posting-list build and the paragraph-granularity exact dedup pass a
+  * training-data pipeline runs between ingestion and near-dup scoring.
+  */
+object CorpusIndex {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D31 — inverted-index build: term → (document frequency, term
+    // frequency, head of the sorted posting list). The full posting
+    // list for a hot term is corpus-proportional, so it must NEVER be
+    // collected into one aggregation buffer — df/tf are plain
+    // count aggregates, and the bounded head comes from the
+    // O(k·partitions) top-k TypedImperativeAggregate (score = -doc_id
+    // ⇒ k smallest ids), not collect_set. Both aggregations group on
+    // `term`, so AQE reuses one exchange.
+    "inverted_index" -> QueryDef(
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+        val stats = ex.groupBy("term")
+          .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+        val heads = ex.select("term", "doc_id").distinct()
+          .groupBy("term")
+          .agg(TopKAgg.topK(col("doc_id"), -col("doc_id").cast("double"), 10)
+            .as("top"))
+          .select(col("term"),
+            array_join(
+              transform(col("top"), x => x.getField("payload").cast("string")),
+              ",").as("postings_head"))
+        stats.join(heads, "term").orderBy("term")
+      },
+      """WITH ex AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents)
+         SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf,
+                array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+                  AS postings_head
+         FROM ex GROUP BY term ORDER BY term"""),
+
+    // D32 — exact paragraph-granularity dedup (the pass run BEFORE
+    // fuzzy dedup): the corpus here has no paragraph breaks, so the
+    // unit is the non-overlapping 16-token chunk. Every chunk is kept
+    // exactly once corpus-wide (first occurrence = min (doc_id, pos));
+    // later occurrences are dropped. One shuffle on the chunk hash;
+    // per-doc keep stats come back on the doc_id shuffle. At 100 TB
+    // the chunk string itself never shuffles twice: the window key is
+    // the chunk, and the groupBy collapses to two longs per doc.
+    "dedup_exact_para" -> QueryDef(
+      (s, d) => {
+        val chunkLen = 16
+        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+        Tables.documents(s, d)
+          .withColumn("t", split(trim(col("text")), "\\s+"))
+          .withColumn("nchunks", floor(size(col("t")) / chunkLen).cast("int"))
+          .filter(col("nchunks") > 0)
+          .withColumn("chunks",
+            transform(sequence(lit(0), col("nchunks") - 1),
+              i => array_join(
+                slice(col("t"), i * chunkLen + 1, lit(chunkLen)), " ")))
+          .select(col("doc_id"), posexplode(col("chunks")))
+          .withColumnRenamed("col", "chunk")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("kept", (col("rn") === 1).cast("int"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+           FROM toks, unnest(range(0, 200)) AS u(i)
+           WHERE i < len(t) // 16),
+         ranked AS (
+           SELECT doc_id, pos, chunk,
+                  row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, pos) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept
+         FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+}
