@@ -253,5 +253,37 @@ object StreamQueries {
          SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
                 round(sum(value), 4) AS session_value
          FROM sessions GROUP BY user_id, session_id
-         ORDER BY user_id, session_start"""))
+         ORDER BY user_id, session_start"""),
+
+    // A10 gate twin — the reference's WHOLE streaming pipeline shape as
+    // one gate-checked query: wire-encoded base64-JSON order records
+    // arrive on a stream, are decoded by the codec, fanned out by the
+    // product_details transform (array explode + struct flatten —
+    // `lambda_product_details_transformation`), and land in the sink.
+    // The oracle is the flat lineitem projection: a single dropped,
+    // duplicated, or mis-decoded record anywhere on the
+    // encode→stream→decode→explode path breaks the hash.
+    "stream_fanout_products" -> QueryDef(
+      (s, d) => {
+        val wireDir = java.nio.file.Files
+          .createTempDirectory("graft_wire").toString + "/wire"
+        graft.ingest.EventCodec.encode(graft.ingest.SyntheticOrders.nested(s, d))
+          .write.mode("overwrite").parquet(wireDir)
+        val raw = s.readStream
+          .schema(s.read.parquet(wireDir).schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString)
+          .parquet(wireDir)
+        val products =
+          graft.ingest.Fanout.productDetails(graft.ingest.EventCodec.decode(raw))
+        runToMemory(products, "append").orderBy("order_id", "line_number")
+      },
+      """SELECT concat('p', l_partkey) AS product_id,
+                concat('o', l_orderkey) AS order_id,
+                concat('part_', l_partkey) AS name,
+                CAST(l_quantity AS INT) AS quantity,
+                l_linenumber AS line_number,
+                l_returnflag AS color,
+                l_linestatus AS size
+         FROM lineitem
+         ORDER BY order_id, line_number"""))
 }

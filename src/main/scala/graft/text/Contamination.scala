@@ -20,6 +20,30 @@ object Contamination {
     */
   private val BenchSource = "src0"
 
+  /** Contamination core: per non-benchmark doc, the fraction of its
+    * distinct word n-grams that occur anywhere in the benchmark
+    * partition. Factored out so specs can plant a doc copied from the
+    * benchmark and assert contamination = 1.0.
+    */
+  def contaminationScores(docs: org.apache.spark.sql.DataFrame,
+      benchSource: String): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.withShingles(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("source"), col("shingles"))
+    val bench = sh.filter(col("source") === benchSource)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val train = sh.filter(col("source") =!= benchSource)
+    val hits = train
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(bench, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_hits") / col("n_shingles"), 4))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Benchmark contamination scoring: fraction of each training doc's
@@ -34,24 +58,9 @@ object Contamination {
     // O(corpus shingles) — the same discipline as Dedup's inverted
     // index (Dedup.scala:31).
     "decontaminate" -> QueryDef(
-      (s, d) => {
-        val sh = Dedup.withShingles(Tables.documents(s, d))
-          .filter(size(col("shingles")) > 0)
-          .select(col("doc_id"), col("source"), col("shingles"))
-        val bench = sh.filter(col("source") === BenchSource)
-          .select(explode(col("shingles")).as("s")).distinct()
-        val train = sh.filter(col("source") =!= BenchSource)
-        val hits = train
-          .select(col("doc_id"), explode(col("shingles")).as("s"))
-          .join(bench, "s")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        train.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-          .join(hits, Seq("doc_id"), "left")
-          .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-          .withColumn("contamination",
-            round(col("n_hits") / col("n_shingles"), 4))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        contaminationScores(Tables.documents(s, d), BenchSource)
+          .orderBy("doc_id"),
       """WITH toks AS (
            SELECT doc_id, source,
                   regexp_split_to_array(trim(text), '\s+') AS t

@@ -11,6 +11,30 @@ import graft.{QueryDef, Tables}
   */
 object CorpusIndex {
 
+  /** Exact chunk-dedup core: per-doc (n_chunks, n_kept) where a chunk
+    * is kept iff it is the corpus-wide first occurrence (min doc_id,
+    * then min position) of its text. Factored out so specs can plant
+    * synthetic copied chunks.
+    */
+  def chunkDedupStats(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    docs
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("nchunks", floor(size(col("t")) / chunkLen).cast("int"))
+      .filter(col("nchunks") > 0)
+      .withColumn("chunks",
+        transform(sequence(lit(0), col("nchunks") - 1),
+          i => array_join(
+            slice(col("t"), i * chunkLen + 1, lit(chunkLen)), " ")))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", (col("rn") === 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D31 — inverted-index build: term → (document frequency, term
@@ -56,25 +80,8 @@ object CorpusIndex {
     // the chunk string itself never shuffles twice: the window key is
     // the chunk, and the groupBy collapses to two longs per doc.
     "dedup_exact_para" -> QueryDef(
-      (s, d) => {
-        val chunkLen = 16
-        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-        Tables.documents(s, d)
-          .withColumn("t", split(trim(col("text")), "\\s+"))
-          .withColumn("nchunks", floor(size(col("t")) / chunkLen).cast("int"))
-          .filter(col("nchunks") > 0)
-          .withColumn("chunks",
-            transform(sequence(lit(0), col("nchunks") - 1),
-              i => array_join(
-                slice(col("t"), i * chunkLen + 1, lit(chunkLen)), " ")))
-          .select(col("doc_id"), posexplode(col("chunks")))
-          .withColumnRenamed("col", "chunk")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("kept", (col("rn") === 1).cast("int"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        chunkDedupStats(Tables.documents(s, d), 16).orderBy("doc_id"),
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
