@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TpchMore.defs ++
       operators.TpchFull.defs ++
       operators.Skew.defs ++
+      operators.Packing.defs ++
       operators.TopKOps.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++

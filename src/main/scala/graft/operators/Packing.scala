@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-run data layout (SURVEY §2 D34/D35): the deterministic
+  * global shuffle and the token-budget sequence packing that turn a
+  * curated corpus into the stream a trainer actually reads.
+  *
+  * Both need a GLOBAL total order — the classic single-reducer trap.
+  * Like `Relational4.withGlobalIndex`, the order is realized as
+  * range-repartition on the sort key + per-partition window + tiny
+  * broadcast of per-partition offsets, so no stage ever funnels the
+  * corpus through one task.
+  */
+object Packing {
+
+  /** Exclusive global prefix sum of `valueCol` (long) in `sortCols`
+    * order: per-partition running sums plus a broadcast of
+    * per-partition totals. The ranged layout is materialized once for
+    * the same reason as withGlobalIndex (RangePartitioner samples
+    * boundaries per-RDD). Callers pass a globally unique sort key.
+    */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[String],
+      valueCol: String, partitions: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(partitions, sortCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy("_pid")
+      .agg(sum(col(valueCol)).as("_ptot"))
+      .withColumn("_offset",
+        coalesce(sum(col("_ptot")).over(
+          Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    val wIn = Window.partitionBy("_pid")
+      .orderBy(sortCols.map(c => col(c).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), "_pid")
+      .withColumn("prefix",
+        coalesce(sum(col(valueCol)).over(wIn), lit(0L)) + col("_offset"))
+      .drop("_pid", "_offset")
+  }
+
+  private def shuffleKey(salt: String) =
+    md5(concat(col("doc_id").cast("string"), lit(salt)).cast("binary"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D34 — deterministic global training shuffle: every doc gets a
+    // dense rank in md5(doc_id||salt) order. Content-stable (same
+    // permutation on any cluster/partitioning/engine — a re-run of a
+    // crashed job resumes the SAME stream) and single-reducer-free via
+    // withGlobalIndex.
+    "corpus_shuffle" -> QueryDef(
+      (s, d) =>
+        Relational4.withGlobalIndex(
+          Tables.documents(s, d)
+            .withColumn("h", shuffleKey(":shuffle"))
+            .select("doc_id", "h"),
+          Seq("h"), 8)
+          .select(col("doc_id"), col("rn").as("shuffle_rank"))
+          .orderBy("shuffle_rank"),
+      """SELECT doc_id,
+                row_number() OVER
+                  (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'))
+                  AS shuffle_rank
+         FROM documents ORDER BY shuffle_rank"""),
+
+    // D35 — sequence packing: concatenate the shuffled token stream and
+    // cut it into fixed 2048-token training sequences. A doc's sequence
+    // assignment is floor(exclusive-prefix / capacity) — docs straddle
+    // boundaries exactly as the trainer's concat-and-split does. The
+    // prefix sum is the distributed one above; the DuckDB oracle is the
+    // single-node window formulation of the same stream.
+    "pack_sequences" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h", shuffleKey(":pack"))
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+          .select("doc_id", "h", "n_tokens")
+        withGlobalPrefixSum(docs, Seq("h"), "n_tokens", 8)
+          .withColumn("bin", floor(col("prefix") / 2048).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs_start"),
+            sum("n_tokens").as("doc_tokens"))
+          .orderBy("bin")
+      },
+      """WITH t AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':pack') AS h,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, h, n_tokens,
+                  coalesce(sum(n_tokens) OVER
+                    (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS prefix
+           FROM t)
+         SELECT CAST(floor(prefix / 2048.0) AS BIGINT) AS bin,
+                count(*) AS n_docs_start,
+                CAST(sum(n_tokens) AS BIGINT) AS doc_tokens
+         FROM p GROUP BY 1 ORDER BY bin"""))
+}
