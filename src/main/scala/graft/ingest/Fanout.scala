@@ -131,6 +131,48 @@ object SyntheticOrders {
     }
   }
 
+  /** The wire-encoded stream (what the producer actually sends:
+    * `python_producer.py:47-113` builds the doc then base64-posts it).
+    * Memoized like `nested` and for the same reason — the encode side
+    * is PRODUCER work, not part of any ingest operator under test, and
+    * three bench repetitions of `ingest_decode` should re-run the
+    * decode, not rebuild the client's payloads.
+    */
+  @volatile private var wireMemo: Option[((SparkSession, String), DataFrame)] = None
+
+  def wire(s: SparkSession, d: String): DataFrame = synchronized {
+    wireMemo match {
+      case Some(((`s`, `d`), df)) => df
+      case prev =>
+        prev.foreach { case (_, old) =>
+          try old.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        val df = EventCodec.encode(nested(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wireMemo = Some(((s, d), df))
+        df
+    }
+  }
+
+  /** The wire stream LANDED as a parquet directory (what a file-source
+    * streaming consumer reads). Written once per (session, sfDir) —
+    * re-landing the producer's payloads on every bench repetition would
+    * time the test harness, not the streaming decode under test.
+    */
+  @volatile private var wireDirMemo: Option[((SparkSession, String), String)] = None
+
+  def wireDir(s: SparkSession, d: String): String = synchronized {
+    wireDirMemo match {
+      case Some(((`s`, `d`), dir)) => dir
+      case _ =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_wire").toString + "/wire"
+        wire(s, d).write.mode("overwrite").parquet(dir)
+        wireDirMemo = Some(((s, d), dir))
+        dir
+    }
+  }
+
   private def build(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)

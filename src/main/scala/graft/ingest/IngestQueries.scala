@@ -22,7 +22,7 @@ object IngestQueries {
     // levels (top field, struct field, array element field).
     "ingest_decode" -> QueryDef(
       (s, d) => {
-        val decoded = EventCodec.decode(EventCodec.encode(SyntheticOrders.nested(s, d)))
+        val decoded = EventCodec.decode(SyntheticOrders.wire(s, d))
         decoded.select(
           col("order_id"),
           col("status"),

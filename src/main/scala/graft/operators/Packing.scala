@@ -17,33 +17,39 @@ import graft.{QueryDef, Tables}
   */
 object Packing {
 
-  /** Exclusive global prefix sum of `valueCol` (long) in `sortCols`
-    * order: per-partition running sums plus a broadcast of
-    * per-partition totals. The ranged layout is materialized once for
-    * the same reason as withGlobalIndex (RangePartitioner samples
-    * boundaries per-RDD). Callers pass a globally unique sort key.
+  /** Global order statistics in ONE ranged pass: dense rank `rn`
+    * (1-based) and exclusive prefix sum `prefix` of `valueCol` (long)
+    * in `sortCols` order. Range-repartition on the sort key,
+    * per-partition window for both stats, then one broadcast of
+    * per-partition (row count, value total) offsets — the
+    * single-reducer-free formulation of `row_number()` +
+    * `sum() OVER (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`. The
+    * ranged layout is materialized once for the same reason as
+    * withGlobalIndex (RangePartitioner samples boundaries per-RDD).
+    * Callers pass a globally unique sort key.
     */
-  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[String],
+  def withGlobalOrderStats(df: DataFrame, sortCols: Seq[String],
       valueCol: String, partitions: Int): DataFrame = {
     val ranged = df
       .repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
+    val wPid = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy("_pid")
-      .agg(sum(col(valueCol)).as("_ptot"))
-      .withColumn("_offset",
-        coalesce(sum(col("_ptot")).over(
-          Window.orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
+      .agg(count(lit(1)).as("_pcnt"), sum(col(valueCol)).as("_ptot"))
+      .withColumn("_roff", coalesce(sum(col("_pcnt")).over(wPid), lit(0L)))
+      .withColumn("_voff", coalesce(sum(col("_ptot")).over(wPid), lit(0L)))
+      .select("_pid", "_roff", "_voff")
     val wIn = Window.partitionBy("_pid")
       .orderBy(sortCols.map(c => col(c).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInPre = wIn.rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .join(broadcast(offsets), "_pid")
+      .withColumn("rn", row_number().over(wIn).cast("long") + col("_roff"))
       .withColumn("prefix",
-        coalesce(sum(col(valueCol)).over(wIn), lit(0L)) + col("_offset"))
-      .drop("_pid", "_offset")
+        coalesce(sum(col(valueCol)).over(wInPre), lit(0L)) + col("_voff"))
+      .drop("_pid", "_roff", "_voff")
   }
 
   private def shuffleKey(salt: String) =
@@ -84,7 +90,7 @@ object Packing {
           .withColumn("n_tokens",
             size(split(trim(col("text")), "\\s+")).cast("long"))
           .select("doc_id", "h", "n_tokens")
-        withGlobalPrefixSum(docs, Seq("h"), "n_tokens", 8)
+        withGlobalOrderStats(docs, Seq("h"), "n_tokens", 8)
           .withColumn("bin", floor(col("prefix") / 2048).cast("long"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_docs_start"),

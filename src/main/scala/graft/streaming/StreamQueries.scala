@@ -265,10 +265,7 @@ object StreamQueries {
     // encode→stream→decode→explode path breaks the hash.
     "stream_fanout_products" -> QueryDef(
       (s, d) => {
-        val wireDir = java.nio.file.Files
-          .createTempDirectory("graft_wire").toString + "/wire"
-        graft.ingest.EventCodec.encode(graft.ingest.SyntheticOrders.nested(s, d))
-          .write.mode("overwrite").parquet(wireDir)
+        val wireDir = graft.ingest.SyntheticOrders.wireDir(s, d)
         val raw = s.readStream
           .schema(s.read.parquet(wireDir).schema)
           .option("maxFilesPerTrigger", Int.MaxValue.toString)

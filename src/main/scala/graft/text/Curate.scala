@@ -20,38 +20,43 @@ import graft.dedup.{Clusters, Dedup}
   */
 object Curate {
 
+  /** The curated keep-set (doc_id, n_tokens, quality): quality ∧
+    * cluster-representative ∧ length. Shared by the manifest entry and
+    * the training-layout composition below.
+    */
+  def keptSet(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val n = size(t).cast("double")
+    val stopRatio =
+      size(filter(t, x => x.isInCollection(TextAnalysis.stopwords)))
+        .cast("double") / n
+    val symRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+        .cast("double") / length(col("text")).cast("double")
+    val quality = round(lit(0.4) * least(n / lit(100.0), lit(1.0)) +
+      lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - symRatio), 4)
+    val scored = docs.select(col("doc_id"), size(t).as("n_tokens"),
+      quality.as("quality"))
+    // dup-cluster members that are NOT their cluster's representative
+    val clusters = Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("dup_id"))
+    // NO broadcast hint: the dropped-id set is corpus-proportional
+    // (every non-representative duplicate), so at 100 TB it cannot
+    // be assumed driver/executor-memory sized. A shuffle left-anti
+    // on doc_id scales; AQE still downgrades it to broadcast when
+    // the set is actually small.
+    scored
+      .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "curate_keep" -> QueryDef(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val t = split(trim(col("text")), "\\s+")
-        val n = size(t).cast("double")
-        val stopRatio =
-          size(filter(t, x => x.isInCollection(TextAnalysis.stopwords)))
-            .cast("double") / n
-        val symRatio =
-          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-            .cast("double") / length(col("text")).cast("double")
-        val quality = round(lit(0.4) * least(n / lit(100.0), lit(1.0)) +
-          lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - symRatio), 4)
-        val scored = docs.select(col("doc_id"), size(t).as("n_tokens"),
-          quality.as("quality"))
-        // dup-cluster members that are NOT their cluster's representative
-        val clusters = Clusters.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, 0.5)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
-          .select(col("doc_id").as("dup_id"))
-        // NO broadcast hint: the dropped-id set is corpus-proportional
-        // (every non-representative duplicate), so at 100 TB it cannot
-        // be assumed driver/executor-memory sized. A shuffle left-anti
-        // on doc_id scales; AQE still downgrades it to broadcast when
-        // the set is actually small.
-        scored
-          .join(dropped, col("doc_id") === col("dup_id"), "left_anti")
-          .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
-          .orderBy("doc_id")
-      },
+      (s, d) => keptSet(Tables.documents(s, d)).orderBy("doc_id"),
       """WITH RECURSIVE
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
@@ -96,5 +101,87 @@ object Curate {
          FROM scored s
          WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
            AND s.quality >= 0.5 AND s.n_tokens >= 20
-         ORDER BY s.doc_id"""))
+         ORDER BY s.doc_id"""),
+
+    // The WHOLE training-data pipeline as one gate-checked query:
+    // curation keep-set → deterministic global shuffle → 2048-token
+    // sequence packing. One row per kept doc with its position in the
+    // training stream (shuffle_rank) and its training sequence (bin).
+    // Every stage is an independently oracle-verified operator; this
+    // entry hash-checks their COMPOSITION end to end — a user could
+    // run exactly this to produce a 100 TB training manifest
+    // (single-reducer-free throughout: the only global structures are
+    // the per-partition offset broadcast and the CC convergence
+    // scalar).
+    "train_manifest" -> QueryDef(
+      (s, d) => {
+        val kept = keptSet(Tables.documents(s, d))
+          .withColumn("h",
+            md5(concat(col("doc_id").cast("string"), lit(":train"))
+              .cast("binary")))
+          .withColumn("tok", col("n_tokens").cast("long"))
+          .select("doc_id", "n_tokens", "h", "tok")
+        graft.operators.Packing
+          .withGlobalOrderStats(kept, Seq("h"), "tok", 8)
+          .select(col("doc_id"), col("n_tokens"),
+            col("rn").as("shuffle_rank"),
+            floor(col("prefix") / 2048).cast("long").as("bin"))
+          .orderBy("shuffle_rank")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                  length(text) AS lc,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+           FROM documents),
+         scored AS (
+           SELECT doc_id, len(t) AS n_tokens,
+                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(len(list_filter(t,
+                            x -> x IN ('the','a','of','and','to','in','is')))
+                            AS DOUBLE) / CAST(len(t) AS DOUBLE))
+                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
+                        4) AS quality
+           FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym_e AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym_e
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym_e s ON r.b = s.a),
+         comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep),
+         kept AS (
+           SELECT s.doc_id, s.n_tokens,
+                  md5(CAST(s.doc_id AS VARCHAR) || ':train') AS h
+           FROM scored s
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+             AND s.quality >= 0.5 AND s.n_tokens >= 20),
+         ranked AS (
+           SELECT doc_id, n_tokens,
+                  row_number() OVER (ORDER BY h) AS shuffle_rank,
+                  coalesce(sum(n_tokens) OVER
+                    (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS prefix
+           FROM kept)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shuffle_rank,
+                CAST(floor(prefix / 2048.0) AS BIGINT) AS bin
+         FROM ranked ORDER BY shuffle_rank"""))
 }
