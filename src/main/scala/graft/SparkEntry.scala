@@ -26,6 +26,7 @@ object SparkEntry {
       operators.TpchFull.defs ++
       operators.Skew.defs ++
       operators.Packing.defs ++
+      operators.Maintenance.defs ++
       operators.TopKOps.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++

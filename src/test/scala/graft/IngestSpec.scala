@@ -63,6 +63,23 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == orders.count())
   }
 
+  test("decode tolerates schema evolution: unknown fields ignored, missing fields null") {
+    // schema-on-read evolution: a producer that ADDS a field must not
+    // break existing consumers, and one that omits optional fields must
+    // yield nulls, not failures — the Glue-schema-registry contract
+    // re-expressed as from_json semantics
+    import spark.implicits._
+    val withExtra =
+      """{"order_id":"oX","status":"NEW","future_field":{"a":1}}"""
+    val sparse = """{"order_id":"oY"}"""
+    val wire = Seq(withExtra, sparse).toDF("json")
+      .select(base64(col("json").cast("binary")).as("data"))
+    val out = EventCodec.decode(wire)
+      .select("order_id", "status", "customer_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == Set(("oX", "NEW", null), ("oY", null, null)))
+  }
+
   test("csv sink round-trips a query result (Athena result-export analog)") {
     val dir = Files.createTempDirectory("graft-csv").toString
     val res = SparkEntry.queries("ref_sales_by_country")(spark, sf)

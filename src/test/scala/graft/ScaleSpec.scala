@@ -130,4 +130,25 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("HLL sketches merge losslessly: union of daily partials equals the whole") {
+    // the incremental-maintenance property 100 TB distinct counting
+    // relies on: build per-day sketches once, union them forever after.
+    // DataSketches HLL is deterministic for a fixed input set, so the
+    // union of the daily sketches must estimate EXACTLY what one
+    // whole-table sketch estimates.
+    val ev = Tables.events(spark, TestSpark.sf)
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0)
+    val whole = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head.getLong(0)
+    assert(merged == whole, s"sketch union $merged != whole-table $whole")
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
 }
