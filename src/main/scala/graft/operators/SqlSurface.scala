@@ -17,9 +17,12 @@ object SqlSurface {
       (s, d) => {
         GraftExtensions.register(s)
         Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+        // `+ 0` normalizes IEEE negative zero: round() can yield -0.0
+        // on one engine and +0.0 on the other (seen at sf0.1), and the
+        // driver's compare is bit-sensitive
         s.sql(
           """SELECT a.label,
-                    round(avg(vec_cosine(a.embedding, b.embedding)), 4)
+                    round(avg(vec_cosine(a.embedding, b.embedding)), 4) + 0
                       AS mean_cosine,
                     count(*) AS n_pairs
              FROM embeddings_v a JOIN embeddings_v b
@@ -27,7 +30,7 @@ object SqlSurface {
              GROUP BY a.label ORDER BY label""")
       },
       s"""SELECT a.label,
-                 round(avg(${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")}), 4)
+                 round(avg(${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")}), 4) + 0
                    AS mean_cosine,
                  count(*) AS n_pairs
           FROM embeddings a JOIN embeddings b

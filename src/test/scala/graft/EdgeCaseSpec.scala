@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.{Clusters, Dedup}
+import graft.text.{Contamination, CorpusIndex}
+
+/** Degenerate-input behavior: a 100 TB pipeline's first production run
+  * is often over a shard with zero rows (new source, empty partition) —
+  * every curation stage must return an empty result, not throw.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("every dedup stage returns empty on an empty corpus") {
+    val docs = emptyDocs
+    assert(Dedup.ngramJaccardPairs(docs, 0.5).count() == 0)
+    val edges = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    assert(Clusters.connectedComponents(edges).count() == 0)
+    assert(CorpusIndex.chunkDedupStats(docs, 16).count() == 0)
+  }
+
+  test("contamination and curation return empty on an empty corpus") {
+    assert(Contamination.contaminationScores(emptyDocs, "src0").count() == 0)
+    assert(graft.text.Curate.keptSet(emptyDocs).count() == 0)
+  }
+
+  test("single-doc corpus: no pairs, no clusters, everything kept") {
+    import spark.implicits._
+    val one = Seq((1L, ("tok " * 30).trim, "srcA", 120L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    assert(Dedup.ngramJaccardPairs(one, 0.5).count() == 0)
+    val stats = CorpusIndex.chunkDedupStats(one, 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((1L, 1L)))
+  }
+}
