@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Skew.defs ++
       operators.Packing.defs ++
       operators.Maintenance.defs ++
+      operators.Profiling.defs ++
       operators.TopKOps.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Data-quality operators (SURVEY §2 D37/C64): the profiling pass every
+  * ingest pipeline runs on a new source, and trailing-window anomaly
+  * detection over the event stream's hourly volumes.
+  */
+object Profiling {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D37 — table profiling: per-column null count, distinct count,
+    // min/max (stringified so heterogeneous columns stack). ONE scan:
+    // all per-column aggregates run in a single aggregation (Spark
+    // computes them columnar in one pass), then the 1×N row unpivots
+    // driver-side-free via stack. distinct counts are exact here;
+    // at 100 TB swap count_distinct for approx_count_distinct — the
+    // plan shape is identical.
+    "profile_table" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val one = ev.agg(aggs.head, aggs.tail: _*)
+        val stackExpr = cols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+          .mkString(s"stack(${cols.size}, ", ", ",
+            ") AS (column_name, n_nulls, n_distinct, min_s, max_s)")
+        one.selectExpr(stackExpr).orderBy("column_name")
+      },
+      """WITH p AS (
+           SELECT * FROM (VALUES
+             ('event_id',
+              (SELECT count(*) FROM events WHERE event_id IS NULL),
+              (SELECT count(DISTINCT event_id) FROM events),
+              (SELECT CAST(min(event_id) AS VARCHAR) FROM events),
+              (SELECT CAST(max(event_id) AS VARCHAR) FROM events)),
+             ('user_id',
+              (SELECT count(*) FROM events WHERE user_id IS NULL),
+              (SELECT count(DISTINCT user_id) FROM events),
+              (SELECT CAST(min(user_id) AS VARCHAR) FROM events),
+              (SELECT CAST(max(user_id) AS VARCHAR) FROM events)),
+             ('event_type',
+              (SELECT count(*) FROM events WHERE event_type IS NULL),
+              (SELECT count(DISTINCT event_type) FROM events),
+              (SELECT min(event_type) FROM events),
+              (SELECT max(event_type) FROM events)),
+             ('value',
+              (SELECT count(*) FROM events WHERE value IS NULL),
+              (SELECT count(DISTINCT value) FROM events),
+              (SELECT CAST(min(value) AS VARCHAR) FROM events),
+              (SELECT CAST(max(value) AS VARCHAR) FROM events))
+           ) AS v(column_name, n_nulls, n_distinct, min_s, max_s))
+         SELECT column_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+                CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+         FROM p ORDER BY column_name"""),
+
+    // C64 — trailing-window anomaly detection: hourly event volume
+    // flagged when it deviates > 2σ from the trailing-24-hour mean.
+    // The window is keyless over TIME — but its input is the hourly
+    // AGGREGATE (24 rows per day per type), not the raw stream, so the
+    // single-partition window runs over thousands of rows at any
+    // corpus size once partitioned by event_type. Rounded z-scores
+    // keep the flag's comparison engine-stable.
+    "anomaly_hours" -> QueryDef(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("mu", avg(col("n")).over(w))
+          .withColumn("sd", stddev_samp(col("n")).over(w))
+          .withColumn("z",
+            round((col("n") - col("mu")) / col("sd"), 4))
+          .filter(col("sd").isNotNull && col("sd") > 0 &&
+            abs(col("z")) > 2)
+          .select(col("hour"), col("event_type"), col("n"), col("z"))
+          .orderBy("hour", "event_type")
+      },
+      """WITH hourly AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT hour, event_type, n,
+                  avg(n) OVER w AS mu,
+                  stddev_samp(n) OVER w AS sd
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT hour, event_type, CAST(n AS BIGINT) AS n,
+                round((n - mu) / sd, 4) AS z
+         FROM scored
+         WHERE sd IS NOT NULL AND sd > 0
+           AND abs(round((n - mu) / sd, 4)) > 2
+         ORDER BY hour, event_type"""))
+}
