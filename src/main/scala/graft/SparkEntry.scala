@@ -32,6 +32,8 @@ object SparkEntry {
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
+      ingest.Export.defs ++
+      text.CorpusStats.defs ++
       streaming.StreamQueries.defs ++
       dedup.Dedup.defs ++
       dedup.Clusters.defs ++

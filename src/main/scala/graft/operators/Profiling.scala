@@ -106,5 +106,31 @@ object Profiling {
          FROM scored
          WHERE sd IS NOT NULL AND sd > 0
            AND abs(round((n - mu) / sd, 4)) > 2
-         ORDER BY hour, event_type"""))
+         ORDER BY hour, event_type"""),
+
+    // C65 — sliding (hopping) window aggregation: 2-hour windows every
+    // 30 minutes via the built-in `window(ts, size, slide)`, the batch
+    // twin of the streaming hopping window. Each event lands in exactly
+    // size/slide = 4 windows — a constant fan-out before the window-key
+    // shuffle, NOT an inequality join (which would plan a
+    // BroadcastNestedLoop and die at scale). The oracle replays Spark's
+    // epoch-aligned window assignment with integer microsecond
+    // arithmetic (window starts are the 4 slide multiples ≤ ts).
+    "sliding_hourly" -> QueryDef(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .select(col("window.start").as("window_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("window_start"),
+      """WITH e AS (SELECT epoch_us(ts) AS eu, value FROM events),
+         w AS (SELECT make_timestamp(
+                        (eu // 1800000000 - k) * 1800000000) AS window_start,
+                      value
+               FROM e CROSS JOIN range(4) r(k))
+         SELECT window_start, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM w GROUP BY 1 ORDER BY 1"""))
 }

@@ -215,6 +215,35 @@ object StreamQueries {
                FROM events) t
          WHERE rn = 1 ORDER BY key"""),
 
+    // A23 — stream-static enrichment join: the streaming events feed
+    // joined per-micro-batch to a BROADCAST static dimension
+    // (customer→nation), then aggregated. Stream-static inner joins are
+    // STATELESS — the dim is re-resolvable each batch, no watermark, no
+    // join state — which is exactly why dim enrichment belongs on the
+    // stream side of a pipeline while fact-fact joins get watermarks
+    // (A19). Fixpoint = the batch 3-way join oracle.
+    "stream_enrich" -> QueryDef(
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("d_key"), col("n_name"))
+        val enriched = eventsStream(s, d)
+          .join(broadcast(dim), col("user_id") === col("d_key"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+        runToMemory(enriched, "complete").orderBy("n_name")
+      },
+      """SELECT n_name, count(*) AS n_events,
+                round(sum(value), 4) AS sum_value
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n_name ORDER BY n_name"""),
+
     // A13 gate twin — STREAMING session windows: the same native
     // session_window aggregation the batch entry C13b runs, executed as
     // a stateful streaming query (gap-merged session state, complete

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-distribution operators (SURVEY §2 D38/D39): exact θ-heavy
+  * hitters via a two-pass mergeable sketch, and temperature-based
+  * language mixing — the α-sampling step every multilingual training
+  * corpus runs to upweight low-resource languages.
+  */
+object CorpusStats {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D38 — exact heavy hitters over the corpus token stream, sketch
+    // first: pass 1 runs a Misra-Gries aggregate (capacity 512) + the
+    // total token count in ONE scan-and-merge — only O(512·partitions)
+    // (term,count) entries ever cross the wire, vocabulary size be
+    // damned. The MG bound (err ≤ N/513) guarantees every term with
+    // freq ≥ ceil(N/256) survives pass 1, so pass 2 — exact counts of
+    // the ≤512 candidates only — returns EXACTLY the θ=1/256-heavy
+    // hitters. Contrast with the naive full groupBy(term): that
+    // shuffles the entire vocabulary to find 20 rows. The oracle is
+    // the exact computation, so the gate proves the sketch path loses
+    // nothing.
+    "heavy_hitters" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val pass1 = toks.agg(
+          graft.functions.FreqSketch.misraGries(col("term"), 512).as("cand"),
+          count(lit(1)).as("n_total"))
+        val cands = pass1.select(explode(col("cand")).as("c"),
+          col("n_total"))
+          .select(col("c.term").as("cand_term"),
+            ((col("n_total") + 255L) / 256L).cast("long").as("thr"))
+        toks.join(broadcast(cands), col("term") === col("cand_term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"), first("thr").as("_thr"))
+          .filter(col("n") >= col("_thr"))
+          .select("term", "n")
+          .orderBy(col("n").desc, col("term"))
+      },
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         t2 AS (SELECT term FROM toks WHERE term <> ''),
+         tot AS (SELECT count(*) AS n_total FROM t2)
+         SELECT term, count(*) AS n
+         FROM t2, tot
+         GROUP BY term, tot.n_total
+         HAVING count(*) >= (tot.n_total + 255) // 256
+         ORDER BY n DESC, term"""),
+
+    // D39 — temperature mixing (α = 0.5): per-language keep rate
+    // ∝ n^(α−1), normalized so the highest-resource language keeps 50%.
+    // Selection is content-stable md5 bucketing (like dataset_split),
+    // NOT rand() — reproducible across engines and partitionings.
+    // Float discipline: the rate uses only max/divide/sqrt on exact
+    // integers (every step correctly rounded IEEE, no float SUM whose
+    // accumulation order could differ between engines), rounded to
+    // 6 dp before the threshold comparison.
+    "temperature_mix" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val mx = byLang.agg(max("n_lang").as("max_n"))
+        val rates = byLang.crossJoin(broadcast(mx))
+          .withColumn("rate",
+            round(least(lit(1.0),
+              lit(0.5) * sqrt(col("max_n") / col("n_lang"))), 6))
+          .select(col("lang").as("r_lang"), col("rate"),
+            floor(col("rate") * 65536).cast("long").as("thr"))
+        docs
+          .withColumn("b",
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+              1, 4), 16, 10).cast("long"))
+          .join(broadcast(rates), col("lang") === col("r_lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            first("rate").as("rate"),
+            count(when(col("b") < col("thr"), 1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      """WITH bl AS (SELECT lang, count(*) AS n_lang
+                     FROM documents GROUP BY lang),
+         mx AS (SELECT max(n_lang) AS max_n FROM bl),
+         rates AS (
+           SELECT lang,
+                  round(least(CAST(1.0 AS DOUBLE),
+                              0.5 * sqrt(max_n / n_lang)), 6) AS rate
+           FROM bl, mx),
+         b AS (SELECT lang,
+                      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 4)) AS INT) AS b
+               FROM documents)
+         SELECT b.lang, count(*) AS n_docs, r.rate AS rate,
+                count(CASE WHEN b.b < CAST(floor(r.rate * 65536) AS BIGINT)
+                           THEN 1 END) AS n_kept
+         FROM b JOIN rates r ON b.lang = r.lang
+         GROUP BY b.lang, r.rate ORDER BY b.lang"""))
+}
