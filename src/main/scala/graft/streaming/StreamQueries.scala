@@ -292,6 +292,11 @@ object StreamQueries {
     // The oracle is the flat lineitem projection: a single dropped,
     // duplicated, or mis-decoded record anywhere on the
     // encode→stream→decode→explode path breaks the hash.
+    // Sink is a real FILE sink (the Firehose→S3 analog), not the memory
+    // sink the small stateful entries use: this query's output is
+    // corpus-sized (one row per line item), and a memory sink would
+    // funnel all of it through the driver — the file sink keeps the
+    // write distributed, exactly as it must be at 100 TB.
     "stream_fanout_products" -> QueryDef(
       (s, d) => {
         val wireDir = graft.ingest.SyntheticOrders.wireDir(s, d)
@@ -301,7 +306,17 @@ object StreamQueries {
           .parquet(wireDir)
         val products =
           graft.ingest.Fanout.productDetails(graft.ingest.EventCodec.decode(raw))
-        runToMemory(products, "append").orderBy("order_id", "line_number")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_fanout_sink").toString
+        val q = products.writeStream
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/_cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$out/data").orderBy("order_id", "line_number")
       },
       """SELECT concat('p', l_partkey) AS product_id,
                 concat('o', l_orderkey) AS order_id,
