@@ -78,6 +78,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** D41 core — INCREMENTAL near-dup probe: an arriving batch checked
+    * against an already-indexed base corpus, the way a 100 TB pipeline
+    * actually runs dedup (re-pairing the whole corpus per batch would
+    * be quadratic in ingest rounds). The base side's inverted index and
+    * its document-frequency stats are the precomputed state — the hot
+    * cap comes from BASE df only, so probe cost never depends on batch
+    * composition. One shuffle on the shingle key joins batch postings
+    * against base postings; pairs are verified with exact Jaccard.
+    */
+  def ngramJaccardProbe(base: DataFrame, incoming: DataFrame,
+      threshold: Double, hotDfFrac: Double = 0.001,
+      minDfCap: Long = 1000L): DataFrame = {
+    val exBase = withShingles(base)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+    val nBase = base.select(count(lit(1)).as("n_docs"))
+    val hot = exBase.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nBase))
+      .filter(col("df") > greatest(lit(minDfCap),
+        (col("n_docs") * lit(hotDfFrac)).cast("long")))
+      .select("s")
+    val idx = exBase.join(hot, Seq("s"), "left_anti")
+    val probe = withShingles(incoming)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+    idx.as("a")
+      .join(probe.as("b"), col("a.s") === col("b.s") &&
+        col("a.n") * lit(threshold) <= col("b.n") &&
+        col("b.n") * lit(threshold) <= col("a.n"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** D3 — MinHash+LSH candidate pairs, then exact-Jaccard verification.
     * 128-hash signatures, 32 bands × 4 rows: P(candidate) ≈
     * 1-(1-j⁴)³² — ~0.87 at j=0.5, ~1.0 at j≥0.8. Verification joins
@@ -455,6 +493,71 @@ object Dedup {
                 round(common * 1.0 / (na + nb - common), 4) AS jaccard
          FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
          ORDER BY doc_a, doc_b"""),
+
+    // D41 — incremental batch dedup: docs 400+ play the arriving batch,
+    // docs 0–399 the indexed base corpus. Each new doc gets a verdict:
+    // exact_dup (content hash already seen in base or earlier in the
+    // batch — the D1 layer run incrementally), near_dup (Jaccard ≥ 0.5
+    // against a BASE doc via the index probe), or new. The oracle
+    // recomputes both layers from scratch; the probe must lose nothing
+    // vs the full-corpus pairing restricted to base×batch pairs.
+    "dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = 400L
+        val base = docs.filter(col("doc_id") < split)
+        val batch = docs.filter(col("doc_id") >= split)
+        val h = docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"))
+        val firstH = h.groupBy("h").agg(min("doc_id").as("first_id"))
+        val exactDup = h.join(firstH, "h")
+          .filter(col("doc_id") > col("first_id") && col("doc_id") >= split)
+          .select(col("doc_id").as("e_id")).distinct()
+        val nearNew = ngramJaccardProbe(base, batch, 0.5)
+          .select(col("doc_b").as("n_id")).distinct()
+        batch.select("doc_id")
+          .join(exactDup, col("doc_id") === col("e_id"), "left")
+          .join(nearNew, col("doc_id") === col("n_id"), "left")
+          .select(col("doc_id"),
+            when(col("e_id").isNotNull, "exact_dup")
+              .when(col("n_id").isNotNull, "near_dup")
+              .otherwise("new").as("verdict"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s
+           WHERE a.doc_id < 400 AND b.doc_id >= 400
+           GROUP BY 1, 2),
+         near AS (
+           SELECT DISTINCT doc_b AS doc_id FROM pairs
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         firsth AS (SELECT h, min(doc_id) AS first_id FROM h GROUP BY h),
+         exact AS (
+           SELECT DISTINCT d.doc_id
+           FROM h d JOIN firsth f ON d.h = f.h
+           WHERE d.doc_id > f.first_id AND d.doc_id >= 400)
+         SELECT d.doc_id,
+                CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS verdict
+         FROM documents d
+         LEFT JOIN exact e ON d.doc_id = e.doc_id
+         LEFT JOIN near nr ON d.doc_id = nr.doc_id
+         WHERE d.doc_id >= 400
+         ORDER BY d.doc_id"""),
 
     // D3 — MinHash LSH, oracle-checked: the DuckDB replica recomputes
     // the murmur3-exact signatures, the banding, and the Jaccard

@@ -98,5 +98,78 @@ object CorpusIndex {
          SELECT doc_id, count(*) AS n_chunks,
                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_kept
-         FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+         FROM ranked GROUP BY doc_id ORDER BY doc_id"""),
+
+    // D40 — exact-substring dedup REWRITE (the C4-style pass that
+    // actually edits the corpus, not just flags it): each document is
+    // rebuilt from its corpus-wide-first-occurrence chunks plus the
+    // un-chunked tail tokens; later occurrences of any 16-token chunk
+    // vanish. Same single chunk-key shuffle as D32, then one doc_id
+    // shuffle to reassemble — chunk text crosses the wire once. The
+    // oracle reconstructs the rewritten text independently and the
+    // md5 proves byte-identical output; whitespace is normalized to
+    // single spaces by tokenization on both sides.
+    "dedup_rewrite" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .withColumn("nchunks", floor(size(col("t")) / 16).cast("int"))
+        val ch = toks.filter(col("nchunks") > 0)
+          .withColumn("chunks",
+            transform(sequence(lit(0), col("nchunks") - 1),
+              i => array_join(slice(col("t"), i * 16 + 1, lit(16)), " ")))
+          .select(col("doc_id"), posexplode(col("chunks")))
+          .withColumnRenamed("col", "chunk")
+        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+        val keptAgg = ch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("chunk")))),
+                x => x.getField("chunk")), " ").as("kept_str"))
+        val stats = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        toks
+          .join(keptAgg, Seq("doc_id"), "left")
+          .join(stats, Seq("doc_id"), "left")
+          .withColumn("tail",
+            array_join(
+              expr("slice(t, nchunks*16+1, size(t) - nchunks*16)"), " "))
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(concat_ws(" ", col("kept_str"),
+              expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         meta AS (SELECT doc_id, t, len(t) // 16 AS nchunks FROM toks),
+         ch AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+           FROM meta, unnest(range(0, 200)) AS u(i)
+           WHERE i < nchunks),
+         ranked AS (
+           SELECT doc_id, pos, chunk,
+                  row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, pos) AS rn
+           FROM ch),
+         keptagg AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  array_to_string(list(chunk ORDER BY pos), ' ') AS kept_str
+           FROM ranked WHERE rn = 1 GROUP BY doc_id),
+         stats AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         SELECT m.doc_id,
+                COALESCE(s.n_chunks, 0) AS n_chunks,
+                COALESCE(k.n_kept, 0) AS n_kept,
+                md5(concat_ws(' ', k.kept_str,
+                    nullif(array_to_string(m.t[m.nchunks*16+1 : len(m.t)], ' '),
+                           ''))) AS text_md5
+         FROM meta m
+         LEFT JOIN keptagg k USING (doc_id)
+         LEFT JOIN stats s USING (doc_id)
+         ORDER BY m.doc_id"""))
 }

@@ -98,6 +98,29 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(capped.head.getDouble(2) - 0.625) < 1e-9)
   }
 
+  test("incremental probe equals full pairing restricted to base×batch") {
+    import spark.implicits._
+    val base = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val probe = Dedup.ngramJaccardProbe(base, batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccardPairs(docs, 0.5)
+      .filter(col("doc_a") < 400 && col("doc_b") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == full, s"probe diff: ${(probe -- full) ++ (full -- probe)}")
+    // planted: an incoming doc copying an indexed doc's text must be
+    // caught even when its id ordering is reversed (probe pairs are
+    // (base, new), never id-ordered)
+    val b2 = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val in2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta xx"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardProbe(b2, in2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1 && got.head._1 == 10L && got.head._2 == 3L &&
+      got.head._3 > 0.7, s"planted probe: ${got.mkString(",")}")
+  }
+
   test("connected components merges chains transitively") {
     import spark.implicits._
     // a-b, b-c, plus isolated pair d-e: expect {1,2,3}->1 and {8,9}->8
