@@ -120,5 +120,39 @@ object VectorAnalytics {
            FROM scored)
          SELECT label, c_label AS pred_label, count(*) AS n
          FROM best WHERE rn = 1 GROUP BY 1, 2
-         ORDER BY label, pred_label"""))
+         ORDER BY label, pred_label"""),
+
+    // D42 — random-projection dimensionality reduction (64 → 8 dims),
+    // the JL-style compression step before clustering or coarse ANN at
+    // corpus scale. The projection matrix is Achlioptas-sparse
+    // (r_ij ∈ {+1, 0, −1} with p = {1/6, 2/3, 1/6}) generated from a
+    // DETERMINISTIC integer hash of (i, j) — no stored matrix, no
+    // rand(): any executor (or engine) regenerates the same matrix,
+    // which is what makes the output reproducible and oracle-checkable.
+    // Per output dim the fold over input dims is SEQUENTIAL in both
+    // engines (Spark `aggregate`, DuckDB `list_sum`), so sums are
+    // bit-identical before the 4 dp round. Scan-local: no shuffle at
+    // all until the ORDER BY.
+    "random_projection" -> QueryDef(
+      (s, d) => {
+        def projExpr(j: Int): String = {
+          val sign = s"(CASE ((CAST(i AS BIGINT) * 73856093) ^ (${j}L * 19349663)) % 6 " +
+            "WHEN 0 THEN 1.0D WHEN 5 THEN -1.0D ELSE 0.0D END)"
+          s"round(aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
+            s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * $sign), 4) AS p$j"
+        }
+        Tables.embeddings(s, d)
+          .selectExpr(Seq("vec_id") ++ (0 until 8).map(projExpr): _*)
+          .orderBy("vec_id")
+      }, {
+        def projSql(j: Int): String =
+          s"""round(list_sum([CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE xor(CAST(i AS BIGINT) * 73856093, $j * 19349663) % 6
+                WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                WHEN 5 THEN CAST(-1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END)
+               for i in range(0, 64)]), 4) AS p$j"""
+        s"""SELECT vec_id, ${(0 until 8).map(projSql).mkString(",\n")}
+            FROM embeddings ORDER BY vec_id"""
+      }))
 }

@@ -1,6 +1,5 @@
 package graft.text
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TopKAgg
 import graft.{QueryDef, Tables}
@@ -11,14 +10,9 @@ import graft.{QueryDef, Tables}
   */
 object CorpusIndex {
 
-  /** Exact chunk-dedup core: per-doc (n_chunks, n_kept) where a chunk
-    * is kept iff it is the corpus-wide first occurrence (min doc_id,
-    * then min position) of its text. Factored out so specs can plant
-    * synthetic copied chunks.
-    */
-  def chunkDedupStats(docs: org.apache.spark.sql.DataFrame,
-      chunkLen: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+  /** Non-overlapping chunk rows (doc_id, pos, chunk) for a corpus. */
+  private[graft] def chunkRows(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("t", split(trim(col("text")), "\\s+"))
       .withColumn("nchunks", floor(size(col("t")) / chunkLen).cast("int"))
@@ -29,11 +23,38 @@ object CorpusIndex {
             slice(col("t"), i * chunkLen + 1, lit(chunkLen)), " ")))
       .select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("col", "chunk")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("kept", (col("rn") === 1).cast("int"))
+
+  /** Chunk rows annotated with `kept` = corpus-wide first occurrence
+    * (min (doc_id, pos)) of the chunk text. First occurrence is a
+    * PARTIAL-AGGREGATED `min(struct(doc_id, pos))` joined back — NOT a
+    * per-chunk `row_number()` window: a boilerplate chunk repeated in
+    * 1% of a 100 TB corpus would put corpus/100 rows into ONE window
+    * partition and sort them, while the partial agg collapses the
+    * copies map-side before anything shuffles. Both sides of the join
+    * shuffle on `chunk`, so the exchange is reused.
+    */
+  private[graft] def chunkKept(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame = {
+    val ch = chunkRows(docs, chunkLen)
+    val firsts = ch.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    ch.join(firsts, "chunk")
+      .withColumn("kept",
+        (col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+          .cast("int"))
+      .drop("f")
+  }
+
+  /** Exact chunk-dedup core: per-doc (n_chunks, n_kept) where a chunk
+    * is kept iff it is the corpus-wide first occurrence (min doc_id,
+    * then min position) of its text. Factored out so specs can plant
+    * synthetic copied chunks.
+    */
+  def chunkDedupStats(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame =
+    chunkKept(docs, chunkLen)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
-  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -111,33 +132,25 @@ object CorpusIndex {
     // single spaces by tokenization on both sides.
     "dedup_rewrite" -> QueryDef(
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val toks = docs
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .withColumn("nchunks", floor(size(col("t")) / 16).cast("int"))
-        val ch = toks.filter(col("nchunks") > 0)
-          .withColumn("chunks",
-            transform(sequence(lit(0), col("nchunks") - 1),
-              i => array_join(slice(col("t"), i * 16 + 1, lit(16)), " ")))
-          .select(col("doc_id"), posexplode(col("chunks")))
-          .withColumnRenamed("col", "chunk")
-        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-        val keptAgg = ch.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        val keptAgg = chunkKept(docs, 16)
+          .filter(col("kept") === 1)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
             array_join(
               transform(
                 array_sort(collect_list(struct(col("pos"), col("chunk")))),
                 x => x.getField("chunk")), " ").as("kept_str"))
-        val stats = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
         toks
           .join(keptAgg, Seq("doc_id"), "left")
-          .join(stats, Seq("doc_id"), "left")
           .withColumn("tail",
             array_join(
               expr("slice(t, nchunks*16+1, size(t) - nchunks*16)"), " "))
           .select(col("doc_id"),
-            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            col("nchunks").cast("long").as("n_chunks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             md5(concat_ws(" ", col("kept_str"),
               expr("nullif(tail, '')")).cast("binary")).as("text_md5"))

@@ -99,5 +99,34 @@ object CorpusStats {
                 count(CASE WHEN b.b < CAST(floor(r.rate * 65536) AS BIGINT)
                            THEN 1 END) AS n_kept
          FROM b JOIN rates r ON b.lang = r.lang
-         GROUP BY b.lang, r.rate ORDER BY b.lang"""))
+         GROUP BY b.lang, r.rate ORDER BY b.lang"""),
+
+    // D44 — per-group EXACT-k holdout sampling (eval-set construction:
+    // "exactly 5 docs per source, reproducibly"): rank docs inside each
+    // source by a content-stable md5 key and keep rank ≤ 5. rand()
+    // cannot do this (not reproducible, and Bernoulli sampling gives
+    // ~k, not k). The row_number ≤ k shape plans as WindowGroupLimit —
+    // per-partition partial limits BEFORE the full per-group sort, so
+    // no executor ever materializes a whole group.
+    "group_sample_k" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("rk_key"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk").cast("long").as("rk"),
+            col("doc_id"))
+          .orderBy("source", "rk")
+      },
+      """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+         FROM (SELECT source, doc_id,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents) t
+         WHERE rk <= 5 ORDER BY source, rk"""))
 }
