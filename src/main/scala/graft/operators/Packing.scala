@@ -111,5 +111,43 @@ object Packing {
          SELECT CAST(floor(prefix / 2048.0) AS BIGINT) AS bin,
                 count(*) AS n_docs_start,
                 CAST(sum(n_tokens) AS BIGINT) AS doc_tokens
-         FROM p GROUP BY 1 ORDER BY bin"""))
+         FROM p GROUP BY 1 ORDER BY bin"""),
+
+    // D46 — sliding-window document chunking (window 64 tokens, stride
+    // 48): the long-document split run BEFORE packing so no training
+    // sequence truncates a doc mid-thought without overlap coverage.
+    // Chunk count per doc is 1 + ceil((n−64)/48) — the last window
+    // always reaches the end, interior windows overlap by 16 tokens.
+    // Pure narrow map (transform + posexplode): zero shuffles until
+    // the output ORDER BY; chunk text is md5'd so corpus-scale chunk
+    // bytes never materialize in the result.
+    "chunk_documents" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .withColumn("n", size(col("t")))
+          .withColumn("k_max",
+            when(col("n") <= 64, 0)
+              .otherwise(((col("n") - lit(17)) / lit(48)).cast("int")))
+          .select(col("doc_id"), col("n"),
+            posexplode(transform(sequence(lit(0), col("k_max")),
+              k => array_join(slice(col("t"), k * 48 + 1, lit(64)), " "))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            least(lit(64), col("n") - col("pos") * 48).cast("long")
+              .as("n_tok"),
+            md5(col("col").cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n
+           FROM documents),
+         ch AS (
+           SELECT doc_id, n, k,
+                  array_to_string(t[k*48+1 : k*48+64], ' ') AS chunk
+           FROM t, unnest(range(0, 200)) AS u(k)
+           WHERE k <= (CASE WHEN n <= 64 THEN 0 ELSE (n - 17) // 48 END))
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                CAST(least(64, n - k*48) AS BIGINT) AS n_tok,
+                md5(chunk) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_id"""))
 }

@@ -132,5 +132,47 @@ object Profiling {
                FROM e CROSS JOIN range(4) r(k))
          SELECT window_start, count(*) AS n_events,
                 round(sum(value), 4) AS sum_value
-         FROM w GROUP BY 1 ORDER BY 1"""))
+         FROM w GROUP BY 1 ORDER BY 1"""),
+
+    // C66 — time-series gap filling: the dense (hour × event_type) grid
+    // with zero rows for silent hours — what every downstream
+    // anomaly/trend consumer (C64) actually needs as input. The grid is
+    // generated from a 1-row span aggregate × the distinct-type dim via
+    // `sequence(h0, h1, interval 1 hour)` — grid size is
+    // hours·|types|, independent of event volume, and the left join
+    // runs against the already-aggregated hourly counts (same
+    // cardinality), so the fill step never touches raw-event scale.
+    "gap_fill_hours" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+        val hourly = ev.groupBy("hour", "event_type")
+          .agg(count(lit(1)).as("n_raw"))
+        val span = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+        val types = ev.select("event_type").distinct()
+        val grid = span.crossJoin(types)
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)"))
+            .as("hour"), col("event_type"))
+        grid.join(hourly, Seq("hour", "event_type"), "left")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy("hour", "event_type")
+      },
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+         hourly AS (
+           SELECT hour, event_type, count(*) AS n_raw
+           FROM ev GROUP BY 1, 2),
+         span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         grid AS (
+           SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour,
+                  event_type
+           FROM span, types)
+         SELECT g.hour, g.event_type, COALESCE(h.n_raw, 0) AS n
+         FROM grid g
+         LEFT JOIN hourly h
+           ON g.hour = h.hour AND g.event_type = h.event_type
+         ORDER BY g.hour, g.event_type"""))
 }
