@@ -128,5 +128,48 @@ object CorpusStats {
                         PARTITION BY source
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                FROM documents) t
-         WHERE rk <= 5 ORDER BY source, rk"""))
+         WHERE rk <= 5 ORDER BY source, rk"""),
+
+    // D47 — pairwise source-overlap matrix: how many 16-token chunks
+    // each pair of sources shares — the provenance diagnostic that
+    // catches mirrored crawls / cross-source boilerplate before dedup
+    // rates surprise you. Scale guard: chunks are DISTINCT-per-source
+    // FIRST, so a chunk contributes at most |sources| postings and the
+    // per-chunk self-join is bounded by C(|sources|,2) pairs — source
+    // count is pipeline-bounded (dozens), never corpus-bounded.
+    "source_overlap" -> QueryDef(
+      (s, d) => {
+        // chunking carries `source` through the narrow map — no
+        // rejoin of chunk rows back to the corpus on doc_id
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+          .withColumn("nchunks", floor(size(col("t")) / 16).cast("int"))
+          .filter(col("nchunks") > 0)
+          .select(col("source"),
+            explode(transform(sequence(lit(0), col("nchunks") - 1),
+              i => array_join(slice(col("t"), i * 16 + 1, lit(16)), " ")))
+              .as("chunk"))
+          .distinct()
+        bySrc.as("a")
+          .join(bySrc.as("b"),
+            col("a.chunk") === col("b.chunk") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared_chunks"))
+          .orderBy("src_a", "src_b")
+      },
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         ch AS (
+           SELECT DISTINCT source,
+                  array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+           FROM toks, unnest(range(0, 200)) AS u(i)
+           WHERE i < len(t) // 16)
+         SELECT a.source AS src_a, b.source AS src_b,
+                count(*) AS shared_chunks
+         FROM ch a JOIN ch b
+           ON a.chunk = b.chunk AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b"""))
 }

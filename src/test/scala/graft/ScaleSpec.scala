@@ -39,6 +39,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(allDays > 1, "test needs multiple partitions")
   }
 
+  test("dynamic partition overwrite backfills one day without touching others") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy("day").agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(before.size > 1, "test needs multiple day partitions")
+    val target = before.keys.min
+    // backfill: reprocess ONE day (values doubled) and overwrite only
+    // that partition — partitionOverwriteMode=dynamic replaces exactly
+    // the partitions present in the written frame, the way a 100 TB
+    // pipeline repairs a bad day without rewriting the table
+    val fixed = ev.filter(col("day") === lit(target))
+      .withColumn("value", col("value") * 2)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fixed.write.mode("overwrite").partitionBy("day").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+      .groupBy("day").agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(after.keySet == before.keySet, "partition set changed")
+    assert(after(target)._1 == before(target)._1 &&
+      math.abs(after(target)._2 - before(target)._2 * 2) < 1e-6,
+      "backfilled day not rewritten")
+    (before.keySet - target).foreach { day =>
+      assert(after(day) == before(day), s"untouched day $day changed")
+    }
+  }
+
   test("foreachBatch sink maintains an upserted KV snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
