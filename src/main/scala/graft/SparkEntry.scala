@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Maintenance.defs ++
       operators.Profiling.defs ++
       operators.TopKOps.defs ++
+      operators.Behavior.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
       ingest.IngestQueries.defs ++
@@ -43,6 +44,7 @@ object SparkEntry {
       similarity.VectorAnalytics.defs ++
       text.TextAnalysis.defs ++
       text.Pii.defs ++
+      text.LexStats.defs ++
       text.Curate.defs ++
       text.Contamination.defs ++
       text.CorpusIndex.defs ++

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Behavioral event analytics: ordered funnels and cohort retention.
+  *
+  * The reference's event stream (view/click/signup/purchase/error wire
+  * records, `python_post_producer/python_producer.py:47-113`) is exactly
+  * the input of product-analytics funnel/retention queries; Athena users
+  * run these over the fanned-out tables. Both operators are expressed so
+  * the only shuffles are keyed on `user_id` (one exchange, reused) plus
+  * one bounded final aggregate — no inequality joins, no per-user
+  * event-list collection, so neither op degrades at 100 TB where a
+  * single user's history must never be driver-side.
+  */
+object Behavior {
+  import org.apache.spark.sql.DataFrame
+
+  /** Strictly-ordered funnel counts over (user_id, event_type, ts). */
+  def funnel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+  }
+
+  /** Weekly cohort retention matrix over (user_id, ts). */
+  def retention(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+    ev.join(first, "user_id")
+      .select(
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        expr("CAST(datediff(CAST(date_trunc('week', ts) AS DATE), " +
+          "CAST(date_trunc('week', first_ts) AS DATE)) div 7 AS BIGINT)")
+          .as("week_n"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_n")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // C67 — strictly-ordered 3-step funnel (view → click → purchase).
+    // Each step's timestamp is the earliest event of that type AFTER the
+    // previous step's timestamp. Chained window aggregates over ONE
+    // user_id partitioning: Spark plans a single shuffle + sort and
+    // evaluates the three dependent mins in consecutive Window nodes
+    // without re-exchanging. The alternative (3× self-join on user_id)
+    // triples the shuffle volume for identical semantics.
+    "funnel_steps" -> QueryDef(
+      (s, d) => funnel(Tables.events(s, d)),
+      """WITH s1 AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                           THEN e.ts END) AS t2
+           FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                           THEN e.ts END) AS t3
+           FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+         SELECT count(*) AS n_users,
+                count(s1.t1) AS n_view,
+                count(s2.t2) AS n_click_after,
+                count(s3.t3) AS n_purchase_after
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""),
+
+    // C68 — weekly cohort retention matrix. Cohort = ISO week (Monday
+    // truncation, identical in both engines) of the user's first event;
+    // one row per (cohort_week, week_n) with the distinct active users.
+    // Plan: groupBy(user) for first-ts, join back on user_id (the
+    // groupBy's exchange is reusable), then a (cohort, week) aggregate
+    // whose cardinality is weeks², not events. Offsets are exact integer
+    // day-diffs `div 7` — no float date math to diverge between engines.
+    "cohort_retention" -> QueryDef(
+      (s, d) => retention(Tables.events(s, d)),
+      """WITH first AS (
+           SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+         SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+                CAST(date_diff('day',
+                       CAST(date_trunc('week', first_ts) AS DATE),
+                       CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT)
+                  AS week_n,
+                count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN first USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_n"""))
+}

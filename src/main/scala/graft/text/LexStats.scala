@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Lexical corpus statistics: bigram association strength (PMI-style
+  * lift) and the Gopher-style per-document quality-rule battery — both
+  * standard passes of an LLM training-data pipeline (Rae et al. 2021,
+  * "Scaling Language Models" §A.1 documents the rule family; PMI is
+  * Church & Hanks 1990).
+  *
+  * Determinism across engines: every score is a ratio of exact integer
+  * counts evaluated in IEEE doubles with an identical expression tree on
+  * both sides (multiplication/division are correctly-rounded, so the
+  * unrounded doubles are bit-identical — unlike ln/exp, whose libm
+  * implementations may differ in the last ulp; that is why the
+  * association score is reported as LIFT, not log-lift).
+  */
+object LexStats {
+  import org.apache.spark.sql.DataFrame
+
+  /** Per-document Gopher-rule verdicts over (doc_id, text). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val nTok = size(t)
+    val sumLen = aggregate(transform(t, x => length(x)),
+      lit(0), (acc, x) => acc + x)
+    val meanWl = sumLen.cast("double") / nTok
+    val alphaFrac = size(filter(t, x => x.rlike("[A-Za-z]")))
+      .cast("double") / nTok
+    val stopN = size(filter(t, x => lower(x).isin(
+      "the", "a", "of", "and", "to", "in", "is", "that")))
+    docs
+      .select(col("doc_id"),
+        nTok.cast("bigint").as("n_tok"),
+        round(meanWl, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        stopN.cast("bigint").as("n_stopwords"),
+        (nTok >= 20 && nTok <= 100000).as("r_len"),
+        (meanWl >= 3.0 && meanWl <= 10.0).as("r_word_len"),
+        (alphaFrac >= 0.8).as("r_alpha"),
+        (stopN >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_alpha") &&
+          col("r_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D49 — top bigram collocations by lift = P(ab) / (P(a)·P(b)).
+    // Unigram and bigram counts are separate `term`-keyed shuffles; the
+    // per-word counts join back on term as SHUFFLE joins (an open
+    // vocabulary is never broadcast-safe — web-scale corpora carry 1e8+
+    // distinct tokens). Corpus totals are 1-row aggregates (broadcast by
+    // definition). The c_ab >= 20 support floor bounds the join output
+    // and keeps rare-pair noise out of the ranking — the same floor any
+    // collocation extraction applies at scale.
+    "token_pmi" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(trim(col("text")), "\\s+").as("t"))
+        val uni = toks.select(explode(col("t")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        val bg = toks.filter(size(col("t")) >= 2)
+          .select(explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 20)
+        val totals = uni.agg(sum("c").as("n_tok")).crossJoin(
+          bg.agg(count(lit(1)).as("n_bg")))
+        bc.withColumn("w1", element_at(split(col("bigram"), " "), 1))
+          .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+          .join(uni.select(col("term").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("term").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(totals))
+          .select(col("bigram"), col("c_ab"),
+            round((col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+              (col("c_a").cast("double") * col("c_b") * col("n_bg")), 4)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("bigram"))
+          .limit(30)
+      },
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         uni AS (SELECT unnest(t) AS term FROM toks),
+         uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+         bg AS (
+           SELECT array_to_string(t[i:i+1], ' ') AS bigram
+           FROM toks, unnest(range(1, len(t))) AS r(i)
+           WHERE len(t) >= 2),
+         bc AS (
+           SELECT bigram, count(*) AS c_ab FROM bg
+           GROUP BY bigram HAVING count(*) >= 20),
+         tot AS (
+           SELECT (SELECT count(*) FROM uni) AS n_tok,
+                  (SELECT count(*) FROM bg) AS n_bg)
+         SELECT bigram, c_ab,
+                round((CAST(c_ab AS DOUBLE) * n_tok * n_tok) /
+                      (CAST(a.c AS DOUBLE) * b.c * n_bg), 4) AS lift
+         FROM bc
+         JOIN uc a ON a.term = split_part(bigram, ' ', 1)
+         JOIN uc b ON b.term = split_part(bigram, ' ', 2)
+         CROSS JOIN tot
+         ORDER BY lift DESC, bigram LIMIT 30"""),
+
+    // D50 — Gopher-style quality rule battery, one verdict row per doc:
+    // token-count range, mean word length range, alphabetic-word
+    // fraction, minimum stopword evidence. Pure scan-local column
+    // expressions (split + higher-order array functions — all
+    // codegen'd), zero shuffles before the output sort; at 100 TB this
+    // runs at scan speed like the other quality passes (D9/D9b).
+    "gopher_rules" -> QueryDef(
+      (s, d) => gopherRules(Tables.documents(s, d)),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS n_tok,
+                  CAST(list_sum(list_transform(t, x -> length(x)))
+                       AS DOUBLE) / len(t) AS mwl,
+                  CAST(len(list_filter(t,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(t) AS af,
+                  CAST(len(list_filter(t, x -> lower(x) IN
+                       ('the','a','of','and','to','in','is','that')))
+                       AS BIGINT) AS n_stopwords
+           FROM toks)
+         SELECT doc_id, n_tok,
+                round(mwl, 4) AS mean_word_len,
+                round(af, 4) AS alpha_frac,
+                n_stopwords,
+                n_tok >= 20 AND n_tok <= 100000 AS r_len,
+                mwl >= 3.0 AND mwl <= 10.0 AS r_word_len,
+                af >= 0.8 AS r_alpha,
+                n_stopwords >= 2 AS r_stopwords,
+                (n_tok >= 20 AND n_tok <= 100000) AND
+                (mwl >= 3.0 AND mwl <= 10.0) AND
+                af >= 0.8 AND n_stopwords >= 2 AS keep
+         FROM m ORDER BY doc_id"""))
+}
