@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Maintenance.defs ++
       operators.Profiling.defs ++
       operators.TopKOps.defs ++
+      operators.Diagnostics.defs ++
       operators.Behavior.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++
@@ -46,6 +47,7 @@ object SparkEntry {
       text.Pii.defs ++
       text.LexStats.defs ++
       text.Curate.defs ++
+      text.Vocab.defs ++
       text.Contamination.defs ++
       text.CorpusIndex.defs ++
       multimodal.Multimodal.defs
