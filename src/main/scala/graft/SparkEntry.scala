@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Profiling.defs ++
       operators.TopKOps.defs ++
       operators.Diagnostics.defs ++
+      operators.Cleaning.defs ++
       operators.Behavior.defs ++
       operators.TimeOps.defs ++
       operators.TimeOps.approxDefs ++

@@ -78,6 +78,38 @@ object Clusters {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list — the
+    * link-authority score a web-corpus curation pipeline ranks documents
+    * by before sampling. Each round is one edge-keyed shuffle join plus
+    * a destination-keyed aggregate; ranks are localCheckpoint'ed per
+    * round (the same lineage discipline as the CC loop) so round k+1
+    * never re-executes round k. The symmetric graph has no dangling
+    * nodes (every vertex has degree ≥ 1), so mass is conserved without
+    * a driver-side redistribution term.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // n is a scalar aggregate (node count), not a data collect
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("score"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("score") / col("deg")).as("c"))
+      ranks = contrib.groupBy("id").agg(sum("c").as("s"))
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * col("s")).as("score"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D14 — dedup clusters over the n-gram near-dup graph: every doc in
@@ -187,5 +219,71 @@ object Clusters {
          SELECT cluster_rep, doc_id AS keep_doc,
                 CAST(n_chars AS BIGINT) AS keep_chars,
                 CAST(cluster_size AS BIGINT) AS cluster_size
-         FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
+         FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""),
+
+    // D53 — document authority by fixed-iteration PageRank (5 rounds,
+    // d=0.85) over the near-dup graph — the web-graph ranking pass a
+    // corpus curation pipeline samples against. The oracle unrolls the
+    // five rounds as chained CTEs (recursive CTEs cannot aggregate in
+    // the recursive term); scores round at 1e-6, far above the
+    // summation-order noise floor of the tiny per-node neighbor sums.
+    "pagerank_docs" -> QueryDef(
+      (s, d) =>
+        pageRank(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          iters = 5, damping = 0.85)
+          .select(col("id").as("doc_id"),
+            round(col("score"), 6).as("pagerank"))
+          .orderBy("doc_id"),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+         nn AS (SELECT count(*) AS c FROM deg),
+         p0 AS (SELECT a AS id, 1.0 / (SELECT c FROM nn) AS score FROM deg),
+         p1 AS (SELECT s.b AS id,
+                       0.15 / (SELECT c FROM nn) +
+                       0.85 * sum(p.score / d.deg) AS score
+                FROM sym s JOIN p0 p ON s.a = p.id JOIN deg d ON d.a = s.a
+                GROUP BY s.b),
+         p2 AS (SELECT s.b AS id,
+                       0.15 / (SELECT c FROM nn) +
+                       0.85 * sum(p.score / d.deg) AS score
+                FROM sym s JOIN p1 p ON s.a = p.id JOIN deg d ON d.a = s.a
+                GROUP BY s.b),
+         p3 AS (SELECT s.b AS id,
+                       0.15 / (SELECT c FROM nn) +
+                       0.85 * sum(p.score / d.deg) AS score
+                FROM sym s JOIN p2 p ON s.a = p.id JOIN deg d ON d.a = s.a
+                GROUP BY s.b),
+         p4 AS (SELECT s.b AS id,
+                       0.15 / (SELECT c FROM nn) +
+                       0.85 * sum(p.score / d.deg) AS score
+                FROM sym s JOIN p3 p ON s.a = p.id JOIN deg d ON d.a = s.a
+                GROUP BY s.b),
+         p5 AS (SELECT s.b AS id,
+                       0.15 / (SELECT c FROM nn) +
+                       0.85 * sum(p.score / d.deg) AS score
+                FROM sym s JOIN p4 p ON s.a = p.id JOIN deg d ON d.a = s.a
+                GROUP BY s.b)
+         SELECT id AS doc_id, round(score, 6) AS pagerank
+         FROM p5 ORDER BY doc_id"""))
 }
