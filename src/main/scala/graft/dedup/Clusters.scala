@@ -78,6 +78,30 @@ object Clusters {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Cluster labels over the shared near-dup pair graph
+    * ([[Dedup.sharedPairs]]) as a memoized corpus asset: four catalog
+    * entries (dedup_clusters, dedup_canonical, curate_keep,
+    * train_manifest) need the same label assignment, and the CC loop's
+    * per-round jobs are the most expensive recomputation in the gate
+    * path. The final labels frame is already localCheckpoint-
+    * materialized by the loop, so the memo only pins the reference.
+    */
+  @volatile private var labelsMemo
+      : Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
+
+  def sharedLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = synchronized {
+    labelsMemo match {
+      case Some(((`s`, `d`), df)) => df
+      case _ =>
+        val df = connectedComponents(
+          Dedup.sharedPairs(s, d)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        labelsMemo = Some(((s, d), df))
+        df
+    }
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list — the
     * link-authority score a web-corpus curation pipeline ranks documents
     * by before sampling. Each round is one edge-keyed shuffle join plus
@@ -118,9 +142,7 @@ object Clusters {
     // formulation of the same fixpoint.
     "dedup_clusters" -> QueryDef(
       (s, d) =>
-        connectedComponents(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        sharedLabels(s, d)
           .orderBy("doc_id"),
       """WITH RECURSIVE
          toks AS (
@@ -163,9 +185,7 @@ object Clusters {
     "dedup_canonical" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val labels = connectedComponents(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val labels = sharedLabels(s, d)
         val w = Window.partitionBy("cluster_rep")
           .orderBy(col("n_chars").desc, col("doc_id").asc)
         labels
@@ -230,7 +250,7 @@ object Clusters {
     "pagerank_docs" -> QueryDef(
       (s, d) =>
         pageRank(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.5)
+          Dedup.sharedPairs(s, d)
             .select(col("doc_a").as("src"), col("doc_b").as("dst")),
           iters = 5, damping = 0.85)
           .select(col("id").as("doc_id"),
@@ -285,5 +305,45 @@ object Clusters {
                 FROM sym s JOIN p4 p ON s.a = p.id JOIN deg d ON d.a = s.a
                 GROUP BY s.b)
          SELECT id AS doc_id, round(score, 6) AS pagerank
-         FROM p5 ORDER BY doc_id"""))
+         FROM p5 ORDER BY doc_id"""),
+
+    // D57 — near-dup graph degree distribution: the structural health
+    // check run BEFORE clustering — a heavy-tailed degree histogram
+    // means a boilerplate template stitched unrelated documents into
+    // one giant component and the pair threshold needs raising. Two
+    // count aggregates over the symmetric edge list; the histogram is
+    // degree-cardinality-bounded (tiny) regardless of corpus size.
+    "dupgraph_degrees" -> QueryDef(
+      (s, d) => {
+        // both endpoints in ONE pass over the pair stream (a union of
+        // two selects would evaluate the pair subtree twice)
+        val sym = Dedup.sharedPairs(s, d)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        sym.groupBy("id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS id FROM pairs
+           UNION ALL SELECT doc_b FROM pairs),
+         deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
+         SELECT degree, count(*) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree"""))
 }

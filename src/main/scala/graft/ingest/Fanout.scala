@@ -207,6 +207,14 @@ object SyntheticOrders {
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(products, col("o_orderkey") === col("l_orderkey"))
+      // Re-widen BEFORE the document projection: AQE coalesces the join
+      // output by BYTE size, and the flat rows are a few MB at test SF —
+      // without this the struct/JSON document build (CPU-bound per row,
+      // not IO-bound) and everything downstream of the persisted frame
+      // (base64 encode, wire decode) would run on ONE core. Per-row-
+      // expensive work is partitioned by available parallelism, not
+      // bytes; at 100 TB the byte heuristic and this width agree.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         concat(lit("user"), col("o_custkey")).as("customer_id"),
         concat(lit("o"), col("o_orderkey")).as("order_id"),

@@ -104,5 +104,46 @@ object Behavior {
                   AS week_n,
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN first USING (user_id)
-         GROUP BY 1, 2 ORDER BY cohort_week, week_n"""))
+         GROUP BY 1, 2 ORDER BY cohort_week, week_n"""),
+
+    // C72 — RFM segmentation: per-user recency (last event), frequency
+    // (event count), monetary (value sum) quintiled into 1–5 scores.
+    // One user-keyed aggregate collapses the event stream to one row
+    // per user BEFORE the ntile windows, so the global sorts rank
+    // users, not events (users ≪ events at any scale; for a 10⁹-user
+    // table the quintile boundary would come from approx quantiles
+    // instead — quantile_filter's pattern). Every ntile orders by a
+    // (metric, user_id) pair, so ranks are total-ordered and the
+    // engines cannot disagree on boundary ties. Output is the bounded
+    // 5×5×5 segment matrix.
+    "rfm_segments" -> QueryDef(
+      (s, d) => {
+        val rfm = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max("ts").as("last_ts"),
+            count(lit(1)).as("freq"),
+            round(sum("value"), 4).as("monetary"))
+        val seg = rfm
+          .withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("last_ts"), col("user_id"))))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("freq"), col("user_id"))))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+        seg.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      """WITH rfm AS (
+           SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+                  round(sum(value), 4) AS monetary
+           FROM events GROUP BY user_id),
+         seg AS (
+           SELECT ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+                  ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+                  ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+           FROM rfm)
+         SELECT r_score, f_score, m_score, count(*) AS n_users
+         FROM seg GROUP BY 1, 2, 3
+         ORDER BY r_score, f_score, m_score"""))
 }

@@ -133,5 +133,47 @@ object Knn {
               FROM scored)
           SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
                  round(cos, 4) AS cosine
-          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // D54 — k-NN GRAPH construction (top-3 neighbors for EVERY vector,
+    // not a fixed query set): the neighbor-mining pass behind
+    // hard-negative sampling and semantic-dedup clustering. Exact
+    // all-pairs is O(n²) and never runs at corpus scale, so the graph
+    // is blocked: candidates are restricted to the vector's label block
+    // (= the coarse IVF/cluster assignment a real pipeline has already
+    // computed), making the quadratic per-block and the whole pass one
+    // equi-join shuffle on the block key + a block-bounded window. For
+    // unblocked recall the LSH path (knn_lsh) substitutes collision
+    // buckets for label blocks — same plan shape.
+    "knn_graph" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("label"), col("vec_id"),
+          col("embedding").as("a_emb"))
+        val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("b_emb"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        a.join(b, Seq("label"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+          .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("vec_id", "rank")
+      },
+      s"""WITH scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")} AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id),
+          ranked AS (
+            SELECT vec_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id,
+                 round(cos, 4) AS cosine
+          FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank"""))
 }

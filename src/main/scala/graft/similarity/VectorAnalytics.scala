@@ -154,5 +154,57 @@ object VectorAnalytics {
                for i in range(0, 64)]), 4) AS p$j"""
         s"""SELECT vec_id, ${(0 until 8).map(projSql).mkString(",\n")}
             FROM embeddings ORDER BY vec_id"""
-      }))
+      }),
+
+    // D55 — inter-cluster similarity matrix: cosine between every pair
+    // of label centroids — the redundancy map a curation pipeline reads
+    // before merging or re-weighting clusters. Two stages, both tiny on
+    // the wire: a (label, dim) partial-agg shuffle builds centroids
+    // (corpus never moves), then the pairwise cosine runs on the
+    // label-count-bounded centroid set (m² pairs for m labels — driver-
+    // scale regardless of corpus size). Determinism across engines:
+    // centroid dims round to 4 dp on both sides before the cosine, and
+    // the dim folds are sequential in both engines (Spark `aggregate`,
+    // DuckDB list comprehension), so the 4 dp result cannot diverge.
+    "centroid_sim" -> QueryDef(
+      (s, d) => {
+        val cent = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg(round(avg(col("col").cast("double")), 4).as("m"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c"))
+        val a = cent.select(col("label").as("label_a"), col("c").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("c").as("cb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("label_a") < col("label_b"))
+          .withColumn("dot",
+            aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x))
+          .withColumn("na",
+            sqrt(aggregate(transform(col("ca"), x => x * x),
+              lit(0.0), (acc, x) => acc + x)))
+          .withColumn("nb",
+            sqrt(aggregate(transform(col("cb"), x => x * x),
+              lit(0.0), (acc, x) => acc + x)))
+          .select(col("label_a"), col("label_b"),
+            round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+          .orderBy("label_a", "label_b")
+      },
+      """WITH dims AS (
+           SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label, pos, round(avg(x), 4) AS m
+           FROM dims GROUP BY 1, 2),
+         carr AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1)
+         SELECT a.label AS label_a, b.label AS label_b,
+                round(list_sum([a.c[i] * b.c[i] for i in range(1, 65)])
+                      / (sqrt(list_sum([a.c[i] * a.c[i] for i in range(1, 65)]))
+                         * sqrt(list_sum([b.c[i] * b.c[i] for i in range(1, 65)]))),
+                      4) AS cosine
+         FROM carr a JOIN carr b ON a.label < b.label
+         ORDER BY label_a, label_b"""))
 }

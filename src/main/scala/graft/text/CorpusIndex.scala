@@ -184,5 +184,68 @@ object CorpusIndex {
          FROM meta m
          LEFT JOIN keptagg k USING (doc_id)
          LEFT JOIN stats s USING (doc_id)
+         ORDER BY m.doc_id"""),
+
+    // D56 — INTRA-document dedup (the pass BEFORE cross-doc dedup):
+    // drop repeated chunks WITHIN each document, keeping the first
+    // in-doc occurrence, and rebuild the text. Unit = non-overlapping
+    // 2-token chunk (the corpus has no paragraph breaks; 2-token chunks
+    // actually repeat within a doc). Unlike D32's corpus-wide pass this
+    // one never shuffles on the raw chunk string at all: the dedup key
+    // is (doc_id, chunk), so every group is bounded by a single
+    // document's length and the whole operator is one doc-keyed
+    // shuffle — no hot-key exposure, embarrassingly parallel at 100 TB.
+    // The per-doc collect_list is doc-length-bounded, not corpus-bound.
+    "intradoc_dedup" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .withColumn("nchunks", floor(size(col("t")) / 2).cast("int"))
+        val kept = chunkRows(docs, 2)
+          .groupBy("doc_id", "chunk")
+          .agg(min("pos").as("pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("chunk")))),
+                x => x.getField("chunk")), " ").as("kept_str"))
+        toks
+          .join(kept, Seq("doc_id"), "left")
+          .withColumn("tail",
+            array_join(
+              expr("slice(t, nchunks*2+1, size(t) - nchunks*2)"), " "))
+          .select(col("doc_id"),
+            col("nchunks").cast("long").as("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(concat_ws(" ", col("kept_str"),
+              expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         meta AS (SELECT doc_id, t, len(t) // 2 AS nchunks FROM toks),
+         ch AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk
+           FROM meta, unnest(range(0, 400)) AS u(i)
+           WHERE i < nchunks),
+         firsts AS (
+           SELECT doc_id, chunk, min(pos) AS pos
+           FROM ch GROUP BY doc_id, chunk),
+         keptagg AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  array_to_string(list(chunk ORDER BY pos), ' ') AS kept_str
+           FROM firsts GROUP BY doc_id)
+         SELECT m.doc_id,
+                CAST(m.nchunks AS BIGINT) AS n_chunks,
+                COALESCE(k.n_kept, 0) AS n_kept,
+                md5(concat_ws(' ', k.kept_str,
+                    nullif(array_to_string(m.t[m.nchunks*2+1 : len(m.t)], ' '),
+                           ''))) AS text_md5
+         FROM meta m
+         LEFT JOIN keptagg k USING (doc_id)
          ORDER BY m.doc_id"""))
 }

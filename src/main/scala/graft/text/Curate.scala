@@ -24,7 +24,8 @@ object Curate {
     * cluster-representative ∧ length. Shared by the manifest entry and
     * the training-layout composition below.
     */
-  def keptSet(docs: org.apache.spark.sql.DataFrame)
+  def keptSet(docs: org.apache.spark.sql.DataFrame,
+      precomputedLabels: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val n = size(t).cast("double")
@@ -38,10 +39,13 @@ object Curate {
       lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - symRatio), 4)
     val scored = docs.select(col("doc_id"), size(t).as("n_tokens"),
       quality.as("quality"))
-    // dup-cluster members that are NOT their cluster's representative
-    val clusters = Clusters.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, 0.5)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // dup-cluster members that are NOT their cluster's representative;
+    // catalog entries pass the shared materialized label asset, specs
+    // with planted corpora let this recompute from scratch
+    val clusters = precomputedLabels.getOrElse(
+      Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("dup_id"))
     // NO broadcast hint: the dropped-id set is corpus-proportional
@@ -56,7 +60,8 @@ object Curate {
 
   val defs: Map[String, QueryDef] = Map(
     "curate_keep" -> QueryDef(
-      (s, d) => keptSet(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => keptSet(Tables.documents(s, d),
+        Some(Clusters.sharedLabels(s, d))).orderBy("doc_id"),
       """WITH RECURSIVE
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
@@ -115,7 +120,8 @@ object Curate {
     // scalar).
     "train_manifest" -> QueryDef(
       (s, d) => {
-        val kept = keptSet(Tables.documents(s, d))
+        val kept = keptSet(Tables.documents(s, d),
+          Some(Clusters.sharedLabels(s, d)))
           .withColumn("h",
             md5(concat(col("doc_id").cast("string"), lit(":train"))
               .cast("binary")))

@@ -141,5 +141,48 @@ object LexStats {
                 (n_tok >= 20 AND n_tok <= 100000) AND
                 (mwl >= 3.0 AND mwl <= 10.0) AND
                 af >= 0.8 AND n_stopwords >= 2 AS keep
-         FROM m ORDER BY doc_id"""))
+         FROM m ORDER BY doc_id"""),
+
+    // D59 — per-document unigram token ENTROPY: H = −Σ (c/n)·ln(c/n)
+    // over the document's OWN token distribution — the repetitiveness
+    // signal complementary to lm_score (which scores against the
+    // corpus LM) and repetition_ratio (which counts distinct n-grams):
+    // template spam has low entropy even when its n-grams are unique.
+    // The aggregation key is (doc_id, term), so every group is bounded
+    // by one document's length — no corpus-scale hot keys, one doc-
+    // keyed shuffle. ln() is libm, but avg/round-4dp over exact count
+    // ratios is the same discipline lm_score already gate-proves.
+    "token_entropy" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("c"))
+        counts
+          .groupBy("doc_id")
+          .agg(sum("c").as("n"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c").cast("double") * log(col("c").cast("double")))
+              .as("_clnc"))
+          .select(col("doc_id"), col("n_distinct"),
+            // H = ln n − (Σ c·ln c)/n: one log per DISTINCT term and an
+            // exact-integer regrouping, instead of one log per token
+            round(log(col("n").cast("double")) - col("_clnc") / col("n"), 4)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH counts AS (
+           SELECT doc_id, term, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY doc_id, term),
+         agg AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+                  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+           FROM counts GROUP BY doc_id)
+         SELECT doc_id, n_distinct,
+                round(ln(CAST(n AS DOUBLE)) - clnc / n, 4) AS entropy
+         FROM agg ORDER BY doc_id"""))
 }

@@ -173,6 +173,54 @@ object TextAnalysis {
                           / CAST(total_3grams AS DOUBLE), 6) AS repetition
          FROM g WHERE total_3grams >= 1 ORDER BY doc_id"""),
 
+    // D58 — per-source quality CALIBRATION: raw quality scores are not
+    // comparable across sources (a clean-wiki source and a raw-crawl
+    // source have different score distributions), so mixing decisions
+    // use the within-source percent rank, not the raw score. One
+    // source-keyed window; at 100 TB a giant source makes that window's
+    // sort its bottleneck — the approximate substitute is the bounded
+    // per-group quantile broadcast quantile_filter already implements
+    // (same calibration, sketch-resolution ranks).
+    "quality_calibrate" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = split(trim(col("text")), "\\s+")
+        val n = size(t).cast("double")
+        val stopRatio =
+          size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n
+        val symRatio =
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            .cast("double") / length(col("text")).cast("double")
+        val lenScore = least(n / lit(100.0), lit(1.0))
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
+              lit(0.2) * (lit(1.0) - symRatio), 4).as("quality"))
+          .withColumn("calibrated", round(percent_rank().over(w), 4))
+          .orderBy("doc_id")
+      },
+      """WITH q AS (
+           SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS t,
+                  length(text) AS lc,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                                 / CAST(len(t) AS DOUBLE))
+                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
+                        4) AS quality
+           FROM q)
+         SELECT doc_id, source, quality,
+                round(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY quality, doc_id), 4)
+                  AS calibrated
+         FROM m ORDER BY doc_id"""),
+
     // D20 — deterministic train/val/test split by content-stable hash:
     // md5 of the doc id buckets every row reproducibly on any cluster,
     // any partitioning, any engine — the property a 100 TB split needs
