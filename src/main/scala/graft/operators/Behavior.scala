@@ -145,5 +145,70 @@ object Behavior {
            FROM rfm)
          SELECT r_score, f_score, m_score, count(*) AS n_users
          FROM seg GROUP BY 1, 2, 3
-         ORDER BY r_score, f_score, m_score"""))
+         ORDER BY r_score, f_score, m_score"""),
+
+    // C73 — event-type transition matrix (the first-order Markov model
+    // behind session modeling and next-action prediction): count every
+    // consecutive (event → next event) pair within a user's timeline.
+    // One user-keyed window (lead over ts, event_id-tiebroken so equal
+    // timestamps order identically in both engines), then a bounded
+    // types² aggregate. No self-join: the lag/lead formulation moves
+    // each event once.
+    "event_transitions" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead("from_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type"""),
+
+    // C74 — top user journey prefixes: each user's first three event
+    // types (by time) as a path string, counted across users — the
+    // "how do sessions start" report. The per-user collect is HARD-
+    // BOUNDED at 3 by a rank filter BEFORE aggregation (never a full
+    // per-user event list), so the group payload is O(3) at any scale.
+    "user_paths" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("rn"),
+              col("event_type")))), x => x.getField("event_type")),
+            ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      """WITH ranked AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         paths AS (
+           SELECT user_id,
+                  array_to_string(list(event_type ORDER BY rn), '>') AS path
+           FROM ranked WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users
+         FROM paths GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20"""))
 }
