@@ -345,5 +345,66 @@ object Clusters {
            UNION ALL SELECT doc_b FROM pairs),
          deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
          SELECT degree, count(*) AS n_nodes
-         FROM deg GROUP BY degree ORDER BY degree"""))
+         FROM deg GROUP BY degree ORDER BY degree"""),
+
+    // D60 — triangle census of the near-dup graph: triangles + open
+    // wedges + global clustering coefficient — the second structural
+    // health metric after the degree histogram (high clustering =
+    // genuine duplicate families; low clustering at high degree =
+    // boilerplate hub stitching unrelated docs). Edge-iterator
+    // counting on the id-ORIENTED edge list (doc_a < doc_b holds for
+    // every pair, so each triangle is counted exactly once as
+    // a<b<c): two shuffle joins on endpoint keys, join width bounded
+    // by per-vertex degree — the standard distributed formulation.
+    // Wedges are Σ C(deg,2) from one count aggregate.
+    "dup_triangles" -> QueryDef(
+      (s, d) => {
+        val e = Dedup.sharedPairs(s, d).select("doc_a", "doc_b")
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(e.as("e3"),
+            col("e3.doc_a") === col("e1.doc_a") &&
+              col("e3.doc_b") === col("e2.doc_b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val wed = e.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+          .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
+            .as("n_wedges"))
+        tri.crossJoin(wed)
+          .select(col("n_triangles"), col("n_wedges"),
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+              .as("clustering"))
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM pairs e1
+           JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         deg AS (
+           SELECT id, count(*) AS deg
+           FROM (SELECT doc_a AS id FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs)
+           GROUP BY id),
+         wed AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+                 FROM deg)
+         SELECT n_triangles, n_wedges,
+                round(3.0 * n_triangles / n_wedges, 4) AS clustering
+         FROM tri, wed"""))
 }

@@ -174,5 +174,51 @@ object Profiling {
          FROM grid g
          LEFT JOIN hourly h
            ON g.hour = h.hour AND g.event_type = h.event_type
-         ORDER BY g.hour, g.event_type"""))
+         ORDER BY g.hour, g.event_type"""),
+
+    // C75 — referential-integrity audit: orphan counts along every FK
+    // edge of the star schema in one row — the pre-flight data-quality
+    // gate before any join-heavy pipeline run (a nonzero orphan count
+    // means inner joins silently drop rows). Each count is a left-anti
+    // join shuffled on its key; the dimension sides (customer, nation)
+    // broadcast. Distinct keys are collapsed BEFORE the anti joins
+    // where only existence matters, so the probe side is key-bounded.
+    "fk_audit" -> QueryDef(
+      (s, d) => {
+        def orphans(left: org.apache.spark.sql.DataFrame, lk: String,
+            right: org.apache.spark.sql.DataFrame, rk: String, as: String) =
+          left.join(right, col(lk) === col(rk), "left_anti")
+            .agg(count(lit(1)).as(as))
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val li = orphans(Tables.lineitem(s, d).select("l_orderkey"),
+          "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+          "lineitem_orphans")
+        val oc = orphans(o.select("o_custkey"), "o_custkey",
+          c.select("c_custkey"), "c_custkey", "order_orphans")
+        val cn = orphans(c.select("c_nationkey"), "c_nationkey",
+          Tables.nation(s, d).select("n_nationkey"), "n_nationkey",
+          "customer_orphans")
+        val eu = orphans(
+          Tables.events(s, d).select("user_id").distinct(), "user_id",
+          c.select("c_custkey"), "c_custkey", "event_user_orphans")
+        li.crossJoin(oc).crossJoin(cn).crossJoin(eu)
+      },
+      """SELECT
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+             AS lineitem_orphans,
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+             AS order_orphans,
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+             AS customer_orphans,
+           (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id))
+             AS event_user_orphans"""))
 }

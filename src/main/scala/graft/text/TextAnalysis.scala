@@ -252,6 +252,34 @@ object TextAnalysis {
                  FROM documents))
          GROUP BY split ORDER BY split"""),
 
+    // D61 — weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): key_i = u_i^(1/w_i) with u_i a content-stable md5 uniform,
+    // take the k largest keys — longer documents proportionally more
+    // likely, yet fully deterministic and engine-reproducible (rand()
+    // is neither). One scan + one global top-k (TakeOrdered at scale —
+    // k·partitions wire cost, no global sort). The float keys are
+    // continuous, so rank boundaries are ulp-safe; key rounded only
+    // for display.
+    "weighted_sample" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            pow(
+              (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+                1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0),
+              lit(1.0) / col("n_chars").cast("double")).as("k"))
+          .orderBy(col("k").desc, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("n_chars"), round(col("k"), 6).as("key")),
+      """SELECT doc_id, n_chars, round(k, 6) AS key
+         FROM (
+           SELECT doc_id, n_chars,
+                  pow((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) + 0.5) / 4294967296.0,
+                      1.0 / n_chars) AS k
+           FROM documents)
+         ORDER BY k DESC, doc_id LIMIT 50"""),
+
     // D23 — deterministic stratified hash sampling: ~10% of docs per
     // language (md5 bucket < 26/256), counted against the stratum total
     // in ONE pass (conditional agg — no second scan, no join). Same

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+/** Semantics checks for the round-4 additions that compose on the
+  * near-dup graph or have statistical (not SQL-row) invariants beyond
+  * their oracles: intra-doc dedup on a planted repeat, triangle census
+  * on a planted clique, label-blocking on the knn graph, and weighted
+  * sampling's size bias.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("intra-doc chunk dedup drops a planted repeated chunk, keeps clean docs byte-identical") {
+    import spark.implicits._
+    // "aa bb" appears at chunk positions 0 and 2 → one copy must go
+    val repeated = Seq(
+      (1L, "aa bb cc dd aa bb ee ff"),
+      (2L, "gg hh ii jj kk ll mm nn")).toDF("doc_id", "text")
+    val stats = graft.text.CorpusIndex.chunkRows(repeated, 2)
+      .groupBy("doc_id", "chunk").agg(min("pos").as("pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats(1L) == 3, s"doc 1 kept ${stats(1L)} chunks, expected 3")
+    assert(stats(2L) == 4, s"doc 2 kept ${stats(2L)} chunks, expected 4")
+  }
+
+  test("triangle census finds a planted 3-clique of near-identical docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clique = Seq(
+      (1L, base), (2L, base + " lambda"), (3L, base + " mu"),
+      (4L, "totally different words that share nothing with the others at all"))
+      .toDF("doc_id", "text")
+    val e = Dedup.ngramJaccardPairs(clique, 0.5).select("doc_a", "doc_b")
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") &&
+          col("e3.doc_b") === col("e2.doc_b"))
+      .count()
+    assert(tri == 1L, s"expected exactly 1 triangle, got $tri")
+  }
+
+  test("knn graph never pairs vectors across label blocks") {
+    val g = SparkEntry.queries("knn_graph")(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select(
+      col("vec_id").as("id"), col("label"))
+    val crossBlock = g
+      .join(labels.withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("label", "la"), "vec_id")
+      .join(labels.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("label", "lb"), "neighbor_id")
+      .filter(col("la") =!= col("lb"))
+      .count()
+    assert(crossBlock == 0L, s"$crossBlock cross-label neighbor pairs")
+  }
+
+  test("weighted sample over-represents long documents") {
+    val docs = Tables.documents(spark, sf)
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = SparkEntry.queries("weighted_sample")(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+}
