@@ -210,5 +210,58 @@ object Behavior {
            FROM ranked WHERE rn <= 3 GROUP BY user_id)
          SELECT path, count(*) AS n_users
          FROM paths GROUP BY path
-         ORDER BY n_users DESC, path LIMIT 20"""))
+         ORDER BY n_users DESC, path LIMIT 20"""),
+
+    // C76 — A/B experiment readout: deterministic 50/50 arm assignment
+    // by content-stable hash (md5 parity of user_id — reproducible on
+    // any cluster, unlike rand() bucketing), per-user value totals, and
+    // a Welch t-statistic for the arm difference. One user-keyed
+    // aggregate collapses events to per-user rows; arm stats come from
+    // conditional aggregates in a single pass (no per-arm scans). The
+    // distributed variance merge is order-dependent in the last ulps;
+    // per-user totals are O(100)-conditioned, so the 4 dp round is
+    // far above the noise floor (stats_agg precedent).
+    "ab_experiment" -> QueryDef(
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(sum("value").as("v"))
+          .withColumn("arm",
+            when(conv(substring(md5(col("user_id").cast("string")
+              .cast("binary")), 1, 1), 16, 10).cast("int") % 2 === 0, "A")
+              .otherwise("B"))
+        val a = col("arm") === "A"
+        val b = col("arm") === "B"
+        perUser.agg(
+          count(when(a, 1)).as("n_a"),
+          count(when(b, 1)).as("n_b"),
+          avg(when(a, col("v"))).as("_ma"),
+          avg(when(b, col("v"))).as("_mb"),
+          stddev_samp(when(a, col("v"))).as("_sa"),
+          stddev_samp(when(b, col("v"))).as("_sb"))
+          .select(col("n_a"), col("n_b"),
+            round(col("_ma"), 4).as("mean_a"),
+            round(col("_mb"), 4).as("mean_b"),
+            round((col("_ma") - col("_mb")) /
+              sqrt(col("_sa") * col("_sa") / col("n_a") +
+                col("_sb") * col("_sb") / col("n_b")), 4).as("t_stat"))
+      },
+      """WITH per_user AS (
+           SELECT user_id, sum(value) AS v,
+                  CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                            AS INT) % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id),
+         agg AS (
+           SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+                  count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+                  avg(CASE WHEN arm = 'A' THEN v END) AS ma,
+                  avg(CASE WHEN arm = 'B' THEN v END) AS mb,
+                  stddev_samp(CASE WHEN arm = 'A' THEN v END) AS sa,
+                  stddev_samp(CASE WHEN arm = 'B' THEN v END) AS sb
+           FROM per_user)
+         SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+                round((ma - mb) / sqrt(sa * sa / n_a + sb * sb / n_b), 4)
+                  AS t_stat
+         FROM agg"""))
 }
