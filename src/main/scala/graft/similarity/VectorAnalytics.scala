@@ -206,5 +206,61 @@ object VectorAnalytics {
                          * sqrt(list_sum([b.c[i] * b.c[i] for i in range(1, 65)]))),
                       4) AS cosine
          FROM carr a JOIN carr b ON a.label < b.label
-         ORDER BY label_a, label_b"""))
+         ORDER BY label_a, label_b"""),
+
+    // D62 — embedding outlier mining: the 3 vectors FARTHEST from their
+    // label centroid per label — the mislabeled/noise-document detector
+    // a curation pipeline runs after clustering. Rank-based, not
+    // threshold-based: a z-score cutoff puts engine-ulp noise on a
+    // decision boundary, while ranking on the 4 dp-rounded distance
+    // (vec_id tiebreak) is total-ordered and cannot diverge. Centroids
+    // broadcast (label-bounded); distances fold sequentially in both
+    // engines; the per-label window partitions are block-bounded.
+    "embedding_outliers" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val cent = emb
+          .select(col("label"), posexplode(col("v")))
+          .groupBy("label", "pos")
+          .agg(round(avg("col"), 4).as("m"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("dist").desc, col("vec_id"))
+        emb.join(broadcast(cent), "label")
+          .withColumn("dist",
+            round(sqrt(aggregate(
+              zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("rank"), col("vec_id"), col("dist"))
+          .orderBy("label", "rank")
+      },
+      """WITH dims AS (
+           SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label, pos, round(avg(x), 4) AS m
+           FROM dims GROUP BY 1, 2),
+         carr AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
+         scored AS (
+           SELECT e.vec_id, e.label,
+                  round(sqrt(list_sum(
+                    [(CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                     for i in range(1, 65)])), 4) AS dist
+           FROM embeddings e JOIN carr c USING (label)),
+         ranked AS (
+           SELECT label, vec_id, dist,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY dist DESC, vec_id) AS rank
+           FROM scored)
+         SELECT label, CAST(rank AS INT) AS rank, vec_id, dist
+         FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
 }

@@ -108,6 +108,61 @@ object Curate {
            AND s.quality >= 0.5 AND s.n_tokens >= 20
          ORDER BY s.doc_id"""),
 
+    // Source-level duplication report: per source, how many docs are
+    // non-representative near-dup cluster members — the per-provider
+    // contamination scorecard that decides which feeds get renegotiated
+    // or down-weighted. Reads the shared label asset; one broadcast-
+    // joined count per source (sources are dimension-bounded).
+    "dup_rate_by_source" -> QueryDef(
+      (s, d) => {
+        val dups = Clusters.sharedLabels(s, d)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id"), lit(1).as("is_dup"))
+        Tables.documents(s, d).select("doc_id", "source")
+          .join(dups, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("is_dup"), lit(0L)).as("n_dups"))
+          .withColumn("dup_rate",
+            round(col("n_dups").cast("double") / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym_e AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym_e
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym_e s ON r.b = s.a),
+         comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+         dups AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+         SELECT d.source, count(*) AS n_docs,
+                CAST(count(dp.doc_id) AS BIGINT) AS n_dups,
+                round(CAST(count(dp.doc_id) AS DOUBLE) / count(*), 4)
+                  AS dup_rate
+         FROM documents d LEFT JOIN dups dp USING (doc_id)
+         GROUP BY d.source ORDER BY d.source"""),
+
     // The WHOLE training-data pipeline as one gate-checked query:
     // curation keep-set → deterministic global shuffle → 2048-token
     // sequence packing. One row per kept doc with its position in the
