@@ -179,6 +179,43 @@ object IngestQueries {
                 max(event_id) AS max_id
          FROM events"""),
 
+    // A8 gate twin — the Firehose dynamic-partitioned SINK round-tripped:
+    // fan out orders with derived year/month keys, land them through the
+    // partitioned parquet sink, read the directory BACK (partition
+    // columns come from directory names, so a mis-partitioned or lost
+    // row changes the result), and aggregate per partition. The oracle
+    // is the same flat SQL as partition_keys — a row landing in the
+    // wrong partition directory breaks the hash even if no row is lost.
+    "partitioned_sink_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_psink").toString + "/orders"
+        val fanned = Fanout.withPartitionKeys(
+          Fanout.orders(SyntheticOrders.nested(s, d)),
+          col("order_date"))
+          .select("order_id", "customer_id", "order_date", "status",
+            "year", "month")
+        PartitionedSink.write(fanned, out,
+          partitionCols = Seq("year", "month"),
+          clusterCols = Seq("customer_id"))
+        s.read.parquet(out)
+          .groupBy("year", "month")
+          .agg(count(lit(1)).as("n_orders"))
+          // partition TYPE INFERENCE parses directory names back as
+          // ints ("07" → 7), so re-pad to the sink's zero-padded string
+          // form the oracle uses
+          .select(col("year").cast("string").as("year"),
+            lpad(col("month").cast("string"), 2, "0").as("month"),
+            col("n_orders"))
+          .orderBy("year", "month")
+      },
+      """SELECT strftime(o_orderdate, '%Y') AS year,
+                strftime(o_orderdate, '%m') AS month,
+                count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY 1, 2 ORDER BY year, month"""),
+
     // A9 — DynamoDB latest-per-key upsert view
     // (`lambda_kinesis_consumer:33-48` put_item = last write wins):
     // arg-max by arrival order (event_id) per key. One shuffle on the

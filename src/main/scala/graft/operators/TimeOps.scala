@@ -133,6 +133,55 @@ object TimeOps {
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_start"""),
 
+    // C77 — hourly session CONCURRENCY: for every hour of the span, how
+    // many sessions were live (overlap the hour) — the load-curve
+    // metric behind capacity planning and the canonical interval-
+    // overlap aggregation. NOT an interval join: each session explodes
+    // into the hours it touches (sessions are gap-bounded, so the
+    // explode width is small and data-independent of corpus size),
+    // then one count per hour. A join formulation would either
+    // nested-loop or re-bucket; the explode IS the bucketing.
+    "concurrent_sessions" -> QueryDef(
+      (s, d) =>
+        sessionize(Tables.events(s, d)
+          .select("user_id", "event_id", "ts"),
+          "user_id", "ts", gapSeconds = 1800)
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("s0"), max("ts").as("s1"))
+          .select(explode(sequence(
+            date_trunc("hour", col("s0")),
+            date_trunc("hour", col("s1")),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+          .groupBy("hour")
+          .agg(count(lit(1)).as("n_live"))
+          .orderBy("hour"),
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                       WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                            > 1800 * 1000000 THEN 1
+                       ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM flagged),
+         spans AS (
+           SELECT user_id, session_id,
+                  date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM sessions GROUP BY user_id, session_id),
+         hours AS (
+           SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM spans)
+         SELECT hour, count(*) AS n_live
+         FROM hours GROUP BY hour ORDER BY hour"""),
+
     // C13 — sessionization, aggregated to per-session stats.
     "sessionize" -> QueryDef(
       (s, d) =>
