@@ -216,6 +216,50 @@ object IngestQueries {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
          GROUP BY 1, 2 ORDER BY year, month"""),
 
+    // A14 gate twin — dead-letter routing under PLANTED corruption: a
+    // deterministic 1-in-16 subset of wire records (chosen by md5 of
+    // the order id, so the oracle can name the same subset without
+    // seeing the wire bytes) is truncated mid-payload — the base64
+    // still decodes but the JSON is a prefix, so from_json yields the
+    // null sentinel (Spark's base64 decoding is MIME-lenient, which is
+    // why invalid-alphabet mangling would NOT corrupt reliably). The
+    // codec must route exactly those to the DLQ and decode the rest;
+    // the oracle recomputes both partitions' counts and the good-side
+    // order-key sum from the base tables — one mis-routed record
+    // breaks either the counts or the sum.
+    "dlq_routing" -> QueryDef(
+      (s, d) => {
+        val corruptPick =
+          conv(substring(md5(col("order_id").cast("binary")), 1, 2), 16, 10)
+            .cast("int") % 16 === 0
+        val nested = SyntheticOrders.nested(s, d)
+        val wire = nested
+          .withColumn("data",
+            when(corruptPick, substring(EventCodec.encodeCol(nested), 1, 16))
+              .otherwise(EventCodec.encodeCol(nested)))
+          .select("data")
+        val (good, bad) = EventCodec.decodeWithDlq(wire)
+        good.agg(
+          count(lit(1)).as("n_good"),
+          sum(substring(col("order_id"), 2, 18).cast("long")).as("good_key_sum"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+          .select("n_good", "n_bad", "good_key_sum")
+      },
+      """WITH o AS (
+           SELECT concat('o', o_orderkey) AS order_id, o_orderkey
+           FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+         tagged AS (
+           SELECT o_orderkey,
+                  CAST(('0x' || substring(md5(order_id), 1, 2)) AS INT) % 16 = 0
+                    AS corrupt
+           FROM o)
+         SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_good,
+                count(CASE WHEN corrupt THEN 1 END) AS n_bad,
+                CAST(sum(CASE WHEN NOT corrupt THEN o_orderkey END) AS BIGINT)
+                  AS good_key_sum
+         FROM tagged"""),
+
     // A9 — DynamoDB latest-per-key upsert view
     // (`lambda_kinesis_consumer:33-48` put_item = last write wins):
     // arg-max by arrival order (event_id) per key. One shuffle on the

@@ -59,6 +59,17 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(crossBlock == 0L, s"$crossBlock cross-label neighbor pairs")
   }
 
+  test("shared pair-graph memo is keyed by sfDir, not leaked across corpora") {
+    // pair counts are NOT monotone in SF (28 at sf0.001 vs 25 at sf0.01 —
+    // duplicate density differs per corpus), which is exactly what makes
+    // the round trip a leak detector: if the memo ignored its key, the
+    // third call would return the second corpus's frame
+    val first = Dedup.sharedPairs(spark, "/root/testdata/sf0.001").count()
+    val other = Dedup.sharedPairs(spark, "/root/testdata/sf0.01").count()
+    assert(first != other, "corpora coincide; leak check is vacuous")
+    assert(Dedup.sharedPairs(spark, "/root/testdata/sf0.001").count() == first)
+  }
+
   test("weighted sample over-represents long documents") {
     val docs = Tables.documents(spark, sf)
     val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
