@@ -406,5 +406,74 @@ object Clusters {
                  FROM deg)
          SELECT n_triangles, n_wedges,
                 round(3.0 * n_triangles / n_wedges, 4) AS clustering
-         FROM tri, wed"""))
+         FROM tri, wed"""),
+
+    // D64 — INCREMENTAL cluster maintenance: a batch of new documents
+    // (doc_id ≥ 400) arrives against an already-clustered base corpus.
+    // Rather than re-pairing everything (quadratic in ingest rounds at
+    // 100 TB), the update graph is: the base's (id → label) assignments
+    // AS EDGES (they encode base connectivity transitively), plus the
+    // batch-vs-base pairs from the inverted-index PROBE (the base is
+    // never re-paired with itself), plus the batch's internal pairs.
+    // CC over that graph provably has the same components as a full
+    // recompute — which is exactly what the oracle does (the same
+    // recursive-CTE closure over ALL documents as dedup_clusters), so
+    // the gate checks the incremental path against the from-scratch
+    // answer. Restricted to edge-incident vertices to match.
+    "cc_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+        val baseLabels = connectedComponents(
+          Dedup.ngramJaccardPairs(base, 0.5)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labelEdges = baseLabels
+          .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
+        connectedComponents(
+          labelEdges.unionByName(crossEdges).unionByName(batchEdges))
+          // label self-edges (singleton base clusters) make their vertex
+          // edge-incident even when the full recompute would not emit
+          // it; keep only vertices a full pairing would return
+          .join(
+            labelEdges.filter(col("src") =!= col("dst"))
+              .unionByName(crossEdges).unionByName(batchEdges)
+              .select(explode(array(col("src"), col("dst"))).as("doc_id"))
+              .distinct(),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         SELECT a AS doc_id, min(b) AS cluster_rep
+         FROM reach GROUP BY a ORDER BY doc_id"""))
 }
