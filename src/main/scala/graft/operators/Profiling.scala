@@ -220,5 +220,51 @@ object Profiling {
            (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) e
              WHERE NOT EXISTS (SELECT 1 FROM customer c
                                WHERE c.c_custkey = e.user_id))
-             AS event_user_orphans"""))
+             AS event_user_orphans"""),
+
+    // C78 — two-sample Kolmogorov–Smirnov drift statistic between two
+    // providers' document-length distributions — the distribution-drift
+    // alarm run between corpus snapshots or sources. Exact, not
+    // sampled: per distinct value, cumulative counts for both samples
+    // come from one conditional aggregate + one value-ordered window
+    // (value-cardinality-bounded, not corpus-bounded), and the KS max
+    // is over exact-integer ratios — deterministic across engines.
+    "ks_drift" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), col("n_chars"))
+        val perVal = docs.groupBy("n_chars")
+          .agg(count(when(col("source") === "src0", 1)).as("c0"),
+            count(when(col("source") === "src1", 1)).as("c1"))
+        val w = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withCum = perVal
+          .withColumn("cum0", sum("c0").over(w))
+          .withColumn("cum1", sum("c1").over(w))
+        val tot = withCum.agg(max("cum0").as("n0"), max("cum1").as("n1"))
+        withCum.crossJoin(broadcast(tot))
+          .agg(first("n0").as("n0"), first("n1").as("n1"),
+            round(max(abs(col("cum0").cast("double") / col("n0")
+              - col("cum1").cast("double") / col("n1"))), 6).as("ks_stat"))
+      },
+      """WITH vals AS (
+           SELECT source, n_chars FROM documents
+           WHERE source IN ('src0', 'src1')),
+         per_val AS (
+           SELECT n_chars,
+                  count(CASE WHEN source = 'src0' THEN 1 END) AS c0,
+                  count(CASE WHEN source = 'src1' THEN 1 END) AS c1
+           FROM vals GROUP BY n_chars),
+         cum AS (
+           SELECT n_chars,
+                  sum(c0) OVER (ORDER BY n_chars) AS cum0,
+                  sum(c1) OVER (ORDER BY n_chars) AS cum1
+           FROM per_val),
+         tot AS (SELECT max(cum0) AS n0, max(cum1) AS n1 FROM cum)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                round(max(abs(CAST(cum0 AS DOUBLE) / n0
+                              - CAST(cum1 AS DOUBLE) / n1)), 6) AS ks_stat
+         FROM cum, tot GROUP BY n0, n1"""))
 }

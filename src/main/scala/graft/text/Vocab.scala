@@ -89,6 +89,95 @@ object Vocab {
                 CAST(length(trim(regexp_replace(
                   regexp_replace(x, '\p{Cc}', ' ', 'g'), ' +', ' ', 'g')))
                   AS INT) AS n_chars_norm
-         FROM noisy ORDER BY doc_id""")
+         FROM noisy ORDER BY doc_id"""),
+
+    // D65 — vocabulary coverage curve: what fraction of corpus token
+    // OCCURRENCES the top-k most frequent types cover, at k ∈ {5, 10,
+    // 25} (the test corpus has 31 types; a web corpus would probe
+    // {1e3, 1e4, 1e5}) — the metric that sizes a tokenizer vocabulary. One
+    // term-keyed count shuffle; the rank pass orders TYPES (vocabulary-
+    // bounded, ≪ corpus) with a deterministic (count desc, term)
+    // tiebreak; output is three rows. The running sum over ranked types
+    // is a single window over the vocabulary, never the corpus.
+    "vocab_coverage" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("c").desc, col("term"))))
+          .withColumn("cum", sum("c").over(w))
+        val total = counts.agg(sum("c").as("total"))
+        ranked.filter(col("rank").isin(5, 10, 25))
+          .crossJoin(broadcast(total))
+          .select(col("rank").cast("long").as("k"),
+            col("cum").as("covered_tokens"),
+            col("total").as("total_tokens"),
+            round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+          .orderBy("k")
+      },
+      """WITH counts AS (
+           SELECT term, count(*) AS c
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         ranked AS (
+           SELECT c,
+                  row_number() OVER (ORDER BY c DESC, term) AS rank,
+                  sum(c) OVER (ORDER BY c DESC, term
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+           FROM counts),
+         total AS (SELECT sum(c) AS total FROM counts)
+         SELECT CAST(rank AS BIGINT) AS k,
+                CAST(cum AS BIGINT) AS covered_tokens,
+                CAST(total AS BIGINT) AS total_tokens,
+                round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+         FROM ranked, total WHERE rank IN (5, 10, 25)
+         ORDER BY k"""),
+
+    // D66 — per-source character-class profile: alpha/digit/whitespace/
+    // punctuation fractions per provider — the cheapest data-quality
+    // fingerprint (a source whose punct share doubles between snapshots
+    // broke upstream). Scan-local regexp counts, one source-keyed
+    // aggregate of exact ints; divisions happen once per SOURCE on
+    // exact sums, so the 6 dp round cannot diverge.
+    "char_class_profile" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"),
+            length(col("text")).as("n"),
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[A-Za-z]", ""))).as("al"),
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[0-9]", ""))).as("di"),
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "\\s", ""))).as("ws"))
+          .groupBy("source")
+          .agg(sum("n").as("n_chars"),
+            round(sum("al").cast("double") / sum("n"), 6).as("alpha_frac"),
+            round(sum("di").cast("double") / sum("n"), 6).as("digit_frac"),
+            round(sum("ws").cast("double") / sum("n"), 6).as("space_frac"),
+            round((sum("n") - sum("al") - sum("di") - sum("ws"))
+              .cast("double") / sum("n"), 6).as("other_frac"))
+          .orderBy("source"),
+      """WITH per_doc AS (
+           SELECT source, length(text) AS n,
+                  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS al,
+                  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS di,
+                  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws
+           FROM documents)
+         SELECT source,
+                CAST(sum(n) AS BIGINT) AS n_chars,
+                round(CAST(sum(al) AS DOUBLE) / sum(n), 6) AS alpha_frac,
+                round(CAST(sum(di) AS DOUBLE) / sum(n), 6) AS digit_frac,
+                round(CAST(sum(ws) AS DOUBLE) / sum(n), 6) AS space_frac,
+                round(CAST(sum(n) - sum(al) - sum(di) - sum(ws) AS DOUBLE)
+                      / sum(n), 6) AS other_frac
+         FROM per_doc GROUP BY source ORDER BY source""")
   )
 }
