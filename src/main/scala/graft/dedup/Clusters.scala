@@ -89,16 +89,26 @@ object Clusters {
   @volatile private var labelsMemo
       : Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
 
+  /** Build OUTSIDE the lock (the CC loop is seconds of Spark jobs and
+    * would convoy concurrent suites); racing builders are benign —
+    * first writer wins. Same immutable-corpus invariant as sharedPairs.
+    */
   def sharedLabels(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = synchronized {
+      d: String): DataFrame = {
     labelsMemo match {
       case Some(((`s`, `d`), df)) => df
       case _ =>
         val df = connectedComponents(
           Dedup.sharedPairs(s, d)
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        labelsMemo = Some(((s, d), df))
-        df
+        synchronized {
+          labelsMemo match {
+            case Some(((`s`, `d`), winner)) => winner
+            case _ =>
+              labelsMemo = Some(((s, d), df))
+              df
+          }
+        }
     }
   }
 

@@ -89,20 +89,39 @@ object Dedup {
     * the pair graph is computed once per corpus snapshot and stored;
     * downstream stages read it. Single slot for the same lifetime
     * reasons as SyntheticOrders.nested.
+    *
+    * INVARIANT: the parquet under a given sfDir is immutable for the
+    * lifetime of a session (true for the driver's fixed test corpora).
+    * Regenerating files in place would serve the old graph — key the
+    * memo by snapshot path (the production shape) if that ever changes.
+    *
+    * The build runs OUTSIDE the lock (double-checked): the CC loop and
+    * pair join are seconds of Spark jobs, and holding the object lock
+    * through them would convoy every concurrent dedup-family caller.
+    * Two racing builders are benign — last one wins, the loser's frame
+    * is just unpersisted-by-GC.
     */
   @volatile private var pairsMemo: Option[((SparkSession, String), DataFrame)] = None
 
-  def sharedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+  def sharedPairs(s: SparkSession, d: String): DataFrame = {
     pairsMemo match {
       case Some(((`s`, `d`), df)) => df
-      case prev =>
-        prev.foreach { case (_, old) =>
-          try old.unpersist(blocking = false) catch { case _: Throwable => () }
-        }
+      case _ =>
         val df = ngramJaccardPairs(Tables.documents(s, d), 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairsMemo = Some(((s, d), df))
-        df
+        synchronized {
+          pairsMemo match {
+            case Some(((`s`, `d`), winner)) =>
+              try df.unpersist(blocking = false) catch { case _: Throwable => () }
+              winner
+            case prev =>
+              prev.foreach { case (_, old) =>
+                try old.unpersist(blocking = false) catch { case _: Throwable => () }
+              }
+              pairsMemo = Some(((s, d), df))
+              df
+          }
+        }
     }
   }
 

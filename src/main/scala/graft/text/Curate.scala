@@ -28,17 +28,8 @@ object Curate {
       precomputedLabels: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val t = split(trim(col("text")), "\\s+")
-    val n = size(t).cast("double")
-    val stopRatio =
-      size(filter(t, x => x.isInCollection(TextAnalysis.stopwords)))
-        .cast("double") / n
-    val symRatio =
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-        .cast("double") / length(col("text")).cast("double")
-    val quality = round(lit(0.4) * least(n / lit(100.0), lit(1.0)) +
-      lit(0.4) * stopRatio + lit(0.2) * (lit(1.0) - symRatio), 4)
     val scored = docs.select(col("doc_id"), size(t).as("n_tokens"),
-      quality.as("quality"))
+      TextAnalysis.qualityCol.as("quality"))
     // dup-cluster members that are NOT their cluster's representative;
     // catalog entries pass the shared materialized label asset, specs
     // with planted corpora let this recompute from scratch

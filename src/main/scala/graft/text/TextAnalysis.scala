@@ -50,6 +50,24 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** THE quality score — 0.4·length-prior + 0.4·stopword-ratio +
+    * 0.2·(1−symbol-ratio), rounded 4 dp. Single definition shared by
+    * quality_score, quality_calibrate, and Curate.keptSet so the three
+    * sites (and their SQL oracles) cannot silently de-synchronize.
+    */
+  def qualityCol: Column = {
+    val t = split(trim(col("text")), "\\s+")
+    val n = size(t).cast("double")
+    val stopRatio =
+      size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n
+    val symRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+        .cast("double") / length(col("text")).cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
+      lit(0.2) * (lit(1.0) - symRatio), 4)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D10 — token counting: whitespace tokens + a BPE-ish regex
@@ -87,8 +105,7 @@ object TextAnalysis {
           size(t).as("n_tokens"),
           round(stopRatio, 4).as("stopword_ratio"),
           round(symRatio, 4).as("symbol_ratio"),
-          round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
-            lit(0.2) * (lit(1.0) - symRatio), 4).as("quality"))
+          qualityCol.as("quality"))
           .orderBy("doc_id")
       },
       """WITH q AS (
@@ -184,20 +201,10 @@ object TextAnalysis {
     "quality_calibrate" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val t = split(trim(col("text")), "\\s+")
-        val n = size(t).cast("double")
-        val stopRatio =
-          size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n
-        val symRatio =
-          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-            .cast("double") / length(col("text")).cast("double")
-        val lenScore = least(n / lit(100.0), lit(1.0))
         val w = Window.partitionBy("source")
           .orderBy(col("quality"), col("doc_id"))
         Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
-              lit(0.2) * (lit(1.0) - symRatio), 4).as("quality"))
+          .select(col("doc_id"), col("source"), qualityCol.as("quality"))
           .withColumn("calibrated", round(percent_rank().over(w), 4))
           .orderBy("doc_id")
       },

@@ -111,7 +111,9 @@ object Vocab {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("c").desc, col("term"))))
           .withColumn("cum", sum("c").over(w))
-        val total = counts.agg(sum("c").as("total"))
+        // the total is the LAST cumulative value — deriving it as
+        // max(cum) avoids a second full token scan of the corpus
+        val total = ranked.agg(max("cum").as("total"))
         ranked.filter(col("rank").isin(5, 10, 25))
           .crossJoin(broadcast(total))
           .select(col("rank").cast("long").as("k"),
