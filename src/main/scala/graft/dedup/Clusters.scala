@@ -485,5 +485,112 @@ object Clusters {
            UNION
            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          SELECT a AS doc_id, min(b) AS cluster_rep
-         FROM reach GROUP BY a ORDER BY doc_id"""))
+         FROM reach GROUP BY a ORDER BY doc_id"""),
+
+    // D67 — near-dup pair similarity histogram: pair counts per 0.05
+    // Jaccard band — the threshold-tuning report read before committing
+    // a dedup pass (a mass of pairs just above the cutoff means the
+    // threshold sits on a cliff). Bin on the 4 dp-rounded score (an
+    // exact integer-count ratio, so the floor cannot straddle engines);
+    // output is band-bounded.
+    "dedup_pair_hist" -> QueryDef(
+      (s, d) =>
+        Dedup.sharedPairs(s, d)
+          .select((floor(col("jaccard") * 20) / 20).as("band_low"))
+          .groupBy("band_low")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("band_low"),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT round(common * 1.0 / (na + nb - common), 4) AS jaccard
+           FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+         SELECT floor(jaccard * 20) / 20 AS band_low, count(*) AS n_pairs
+         FROM pairs GROUP BY 1 ORDER BY band_low"""),
+
+    // D68 — cluster source purity: per near-dup cluster, the share of
+    // members from its majority source — near-1 purity means dup
+    // families are intra-provider (dedup can shard by source); low
+    // purity means cross-provider syndication (it cannot). Majority =
+    // max count with min-source tiebreak, deterministic in both
+    // engines; cluster-keyed aggregates are dup-family-bounded.
+    "label_purity" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val members = sharedLabels(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        val bySrc = members.groupBy("cluster_rep", "source")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("cluster_rep")
+          .orderBy(col("n").desc, col("source"))
+        bySrc
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size",
+            sum("n").over(Window.partitionBy("cluster_rep")))
+          .filter(col("rn") === 1)
+          .select(col("cluster_rep"),
+            col("cluster_size"),
+            col("source").as("majority_source"),
+            round(col("n").cast("double") / col("cluster_size"), 4)
+              .as("purity"))
+          .orderBy("cluster_rep")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         labels AS (
+           SELECT a AS doc_id, min(b) AS cluster_rep
+           FROM reach GROUP BY a),
+         by_src AS (
+           SELECT l.cluster_rep, d.source, count(*) AS n
+           FROM labels l JOIN documents d USING (doc_id)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT cluster_rep, source, n,
+                  row_number() OVER (PARTITION BY cluster_rep
+                                     ORDER BY n DESC, source) AS rn,
+                  sum(n) OVER (PARTITION BY cluster_rep) AS cluster_size
+           FROM by_src)
+         SELECT cluster_rep,
+                CAST(cluster_size AS BIGINT) AS cluster_size,
+                source AS majority_source,
+                round(CAST(n AS DOUBLE) / cluster_size, 4) AS purity
+         FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
 }
