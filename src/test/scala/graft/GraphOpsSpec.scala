@@ -70,6 +70,57 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(Dedup.sharedPairs(spark, "/root/testdata/sf0.001").count() == first)
   }
 
+  test("KS statistic separates a shifted distribution from an identical one") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def ks(df: org.apache.spark.sql.DataFrame): Double = {
+      val perVal = df.groupBy("v")
+        .agg(count(when(col("g") === "a", 1)).as("c0"),
+          count(when(col("g") === "b", 1)).as("c1"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perVal.withColumn("cum0", sum("c0").over(w))
+        .withColumn("cum1", sum("c1").over(w))
+      val tot = cum.agg(max("cum0").as("n0"), max("cum1").as("n1"))
+      cum.crossJoin(tot)
+        .agg(max(abs(col("cum0").cast("double") / col("n0")
+          - col("cum1").cast("double") / col("n1"))))
+        .head.getDouble(0)
+    }
+    val same = ((1 to 50).map(i => (i % 10, "a")) ++
+      (1 to 50).map(i => (i % 10, "b"))).toDF("v", "g")
+    val shifted = ((1 to 50).map(i => (i % 10, "a")) ++
+      (1 to 50).map(i => (i % 10 + 5, "b"))).toDF("v", "g")
+    assert(ks(same) == 0.0, "identical samples must give KS 0")
+    assert(ks(shifted) >= 0.5, s"shift of half the range: KS ${ks(shifted)}")
+  }
+
+  test("incremental CC merges a cross-batch duplicate into the base cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base + " iota"),             // base cluster {1,2}
+      (500L, base + " kappa"),                      // batch doc joins it
+      (501L, "unrelated words that form their own separate batch content"),
+      (502L, "unrelated words that form their own separate batch material"))
+      .toDF("doc_id", "text")
+    val b = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val baseLabels = graft.dedup.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(b, 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val merged = graft.dedup.Clusters.connectedComponents(
+      baseLabels.select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
+        .unionByName(Dedup.ngramJaccardProbe(b, batch, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .unionByName(Dedup.ngramJaccardPairs(batch, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged(500L) == 1L, s"batch doc should join cluster 1: $merged")
+    assert(merged(501L) == 501L && merged(502L) == 501L,
+      s"batch-internal pair should form its own cluster: $merged")
+  }
+
   test("weighted sample over-represents long documents") {
     val docs = Tables.documents(spark, sf)
     val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
