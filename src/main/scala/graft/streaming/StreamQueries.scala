@@ -297,6 +297,59 @@ object StreamQueries {
     // corpus-sized (one row per line item), and a memory sink would
     // funnel all of it through the driver — the file sink keeps the
     // write distributed, exactly as it must be at 100 TB.
+    // A14 streaming twin — dead-letter ACCOUNTING as a streaming query:
+    // the same md5-chosen 1-in-16 truncation corruption as the batch
+    // dlq_routing entry, but arriving on a stream; a single complete-
+    // mode aggregation counts good/bad and checksums the good side, so
+    // the stream's fixpoint must equal the batch oracle. (The routing
+    // SPLIT itself — two sinks — is covered by the batch entry and
+    // IngestSpec; a streaming agg checks the same classification
+    // without needing two concurrent queries on one source.)
+    "stream_dlq" -> QueryDef(
+      (s, d) => {
+        import graft.ingest.{EventCodec, SyntheticOrders}
+        val nested = SyntheticOrders.nested(s, d)
+        val corruptPick =
+          conv(substring(md5(col("order_id").cast("binary")), 1, 2), 16, 10)
+            .cast("int") % 16 === 0
+        val dir = System.getProperty("java.io.tmpdir") +
+          "/graft_dlqwire_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        nested
+          .withColumn("data",
+            when(corruptPick, substring(EventCodec.encodeCol(nested), 1, 16))
+              .otherwise(EventCodec.encodeCol(nested)))
+          .select("data")
+          .write.mode("overwrite").parquet(dir)
+        val raw = s.readStream
+          .schema(s.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString)
+          .parquet(dir)
+        val parsed = raw.withColumn("_evt",
+          from_json(try_to_binary(col("data"), lit("base64"))
+            .cast(org.apache.spark.sql.types.StringType),
+            EventCodec.orderEventSchema))
+        val agg = parsed.agg(
+          count(when(col("_evt.order_id").isNotNull, 1)).as("n_good"),
+          count(when(col("_evt.order_id").isNull, 1)).as("n_bad"),
+          sum(substring(col("_evt.order_id"), 2, 18).cast("long"))
+            .as("good_key_sum"))
+        runToMemory(agg, "complete")
+      },
+      """WITH o AS (
+           SELECT concat('o', o_orderkey) AS order_id, o_orderkey
+           FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+         tagged AS (
+           SELECT o_orderkey,
+                  CAST(('0x' || substring(md5(order_id), 1, 2)) AS INT) % 16 = 0
+                    AS corrupt
+           FROM o)
+         SELECT count(CASE WHEN NOT corrupt THEN 1 END) AS n_good,
+                count(CASE WHEN corrupt THEN 1 END) AS n_bad,
+                CAST(sum(CASE WHEN NOT corrupt THEN o_orderkey END) AS BIGINT)
+                  AS good_key_sum
+         FROM tagged"""),
+
     "stream_fanout_products" -> QueryDef(
       (s, d) => {
         val wireDir = graft.ingest.SyntheticOrders.wireDir(s, d)
