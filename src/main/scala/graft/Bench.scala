@@ -25,7 +25,22 @@ object Bench {
     "range_join", "sessionize", "fanout_products", "ingest_decode",
     "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_clusters",
     "knn_brute", "knn_custom", "knn_ivf", "curate_keep", "quality_score",
-    "token_count")
+    "token_count", "shared_pairs_build", "shared_labels_build")
+
+  /** Shared corpus assets (near-dup pair graph, cluster labels) are
+    * memoized per (session, corpus) — the production shape: computed
+    * once per snapshot, read by every downstream stage. They are built
+    * and materialized HERE as their own timed lines, BEFORE the catalog
+    * loop, so the dedup-family per-query numbers read as marginal costs
+    * instead of whichever alphabetical consumer happens to run first
+    * absorbing the build (round-4 bench-honesty item). Timed once, not
+    * median-of-reps: rep 2 of a memoized build measures the cache.
+    */
+  private val sharedAssetBuilds
+      : Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    Seq(
+      "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
+      "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +92,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    val buildResults = sharedAssetBuilds
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> runOnce(name, fn) }
+    val results = buildResults ++ selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn))
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }

@@ -9,6 +9,10 @@ package graft
   *    SortMergeJoin (broadcast/shuffled-hash expected);
   *  - no query may scan more than 8 columns of a base table unless it
   *    is allow-listed as genuinely needing them;
+  *  - no query may plan an unpartitioned global Window (a
+  *    single-reducer sort of its input) unless the input is provably
+  *    cardinality-bounded (`_pid` offset windows structurally; named
+  *    allowlist otherwise);
   *  - every query must produce an auditable plan (no AUDIT-ERROR).
   *
   * The full per-query metrics are written to PLAN_AUDIT.json so rounds
@@ -38,6 +42,17 @@ object PlanAudit {
     "ingest_decode", "fanout_orders", "fanout_products",
     "fanout_purchases", "fanout_addresses", "scd2_history")
 
+  /** Queries allowed an unpartitioned (global) Window over input that
+    * is provably NOT corpus-proportional. Only `ks_drift` qualifies:
+    * its window runs over per-distinct-value aggregates, bounded by the
+    * value cardinality of `n_chars`, not by row count. Everything else
+    * with a global Window fails the audit: it plans a single-reducer
+    * sort of its whole input. (withGlobalIndex / withGlobalOrderStats
+    * need no exemption — their offsets are driver-collected counts,
+    * not a window.)
+    */
+  private val globalWindowAllow = Set("ks_drift")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -55,13 +70,22 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class Audit(name: String, scans: Int, pushed: Int, bcast: Int,
-        smj: Int, codegen: Int, exchange: Int, wide: Int, err: Option[String])
+        smj: Int, codegen: Int, exchange: Int, wide: Int, gwin: Int,
+        err: Option[String])
 
     val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.collect() // materialize THIS queryExecution so AQE finalizes
         val plan = df.queryExecution.executedPlan.toString
+        // unpartitioned Window nodes = single-reducer sorts of their
+        // whole input. Counted on the optimized logical plan (stable
+        // under AQE re-planning, and past the optimizer rules that
+        // would strip a constant partition key).
+        val gwin = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
         val scans = "Scan parquet".r.findAllIn(plan).size
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
         val bcast = "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size
@@ -90,9 +114,9 @@ object PlanAudit {
           }
           cols > 8
         }
-        Audit(name, scans, pushed, bcast, smj, wsc, exch, wide, None)
+        Audit(name, scans, pushed, bcast, smj, wsc, exch, wide, gwin, None)
       } catch { case e: Throwable =>
-        Audit(name, 0, 0, 0, 0, 0, 0, 0,
+        Audit(name, 0, 0, 0, 0, 0, 0, 0, 0,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
@@ -100,7 +124,8 @@ object PlanAudit {
     audits.foreach { a =>
       val status = a.err.map(m => s"AUDIT-ERROR $m").getOrElse(
         f"scans=${a.scans} pushed=${a.pushed} bcast=${a.bcast} " +
-          f"smj=${a.smj} codegen=${a.codegen} exchange=${a.exchange} wide=${a.wide}")
+          f"smj=${a.smj} codegen=${a.codegen} exchange=${a.exchange} " +
+          f"wide=${a.wide} gwin=${a.gwin}")
       println(f"${a.name}%-22s $status")
     }
 
@@ -120,7 +145,8 @@ object PlanAudit {
       s"${jstr(a.name)}:{" +
         s""""scans":${a.scans},"pushed":${a.pushed},"bcast":${a.bcast},""" +
         s""""smj":${a.smj},"codegen":${a.codegen},"exchange":${a.exchange},""" +
-        s""""wide":${a.wide},"err":${a.err.map(jstr).getOrElse("null")}}"""
+        s""""wide":${a.wide},"global_window":${a.gwin},""" +
+        s""""err":${a.err.map(jstr).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("PLAN_AUDIT.json"),
       (json + "\n").getBytes("UTF-8"))
@@ -130,7 +156,10 @@ object PlanAudit {
         audits.filter(a => dimJoinQueries(a.name) && a.smj > 0)
           .map(a => s"${a.name}: ${a.smj} SortMergeJoin on a dim-only join") ++
         audits.filter(a => a.wide > 0 && !wideScanAllow(a.name))
-          .map(a => s"${a.name}: ${a.wide} scan(s) reading >8 columns")
+          .map(a => s"${a.name}: ${a.wide} scan(s) reading >8 columns") ++
+        audits.filter(a => a.gwin > 0 && !globalWindowAllow(a.name))
+          .map(a => s"${a.name}: ${a.gwin} unpartitioned global Window(s)" +
+            " (single-reducer sort)")
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[plan-audit] VIOLATION $v"))

@@ -41,6 +41,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Process-scoped scratch directory for queries that must round-trip
+    * through a sink. Keyed by (tag, sfDir) so repeated invocations in
+    * ONE session overwrite the same path instead of leaking a copy per
+    * bench rep — and by the Spark applicationId so (a) two drivers
+    * benching/verifying the same corpus on one host never race on
+    * overwrite-vs-read and (b) the name is not predictable/pre-creatable
+    * by another user of a shared host's global tmpdir.
+    */
+  def scratchDir(s: SparkSession, sfDir: String, tag: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_" + tag + "_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
 }
 
 /** One catalog entry: a DataFrame transform plus (when the semantics are

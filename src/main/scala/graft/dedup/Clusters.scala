@@ -85,32 +85,19 @@ object Clusters {
     * per-round jobs are the most expensive recomputation in the gate
     * path. The final labels frame is already localCheckpoint-
     * materialized by the loop, so the memo only pins the reference.
+    * Bounded keyed AssetMemo (locking/eviction/invariant documented
+    * there); Bench reports the build as its own `shared_labels_build`
+    * line.
     */
-  @volatile private var labelsMemo
-      : Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
+  private val labelsMemo = new graft.AssetMemo(8)
 
-  /** Build OUTSIDE the lock (the CC loop is seconds of Spark jobs and
-    * would convoy concurrent suites); racing builders are benign —
-    * first writer wins. Same immutable-corpus invariant as sharedPairs.
-    */
   def sharedLabels(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    labelsMemo match {
-      case Some(((`s`, `d`), df)) => df
-      case _ =>
-        val df = connectedComponents(
-          Dedup.sharedPairs(s, d)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        synchronized {
-          labelsMemo match {
-            case Some(((`s`, `d`), winner)) => winner
-            case _ =>
-              labelsMemo = Some(((s, d), df))
-              df
-          }
-        }
+      d: String): DataFrame =
+    labelsMemo.getOrBuild(s, d) {
+      connectedComponents(
+        Dedup.sharedPairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     }
-  }
 
   /** Fixed-iteration PageRank over an undirected edge list — the
     * link-authority score a web-corpus curation pipeline ranks documents
@@ -380,9 +367,14 @@ object Clusters {
           .groupBy("id").agg(count(lit(1)).as("deg"))
           .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
             .as("n_wedges"))
+        // n_wedges = 0 (non-empty graph that is a perfect matching)
+        // must be guarded on BOTH sides: Spark's Divide yields NULL
+        // but DuckDB's default ieee float ops yield inf/NaN — an
+        // engine divergence the gate would trip on such a corpus
         tri.crossJoin(wed)
           .select(col("n_triangles"), col("n_wedges"),
-            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+            when(col("n_wedges") > 0,
+              round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
               .as("clustering"))
       },
       """WITH toks AS (
@@ -415,7 +407,9 @@ object Clusters {
          wed AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
                  FROM deg)
          SELECT n_triangles, n_wedges,
-                round(3.0 * n_triangles / n_wedges, 4) AS clustering
+                CASE WHEN n_wedges > 0
+                     THEN round(3.0 * n_triangles / n_wedges, 4) END
+                  AS clustering
          FROM tri, wed"""),
 
     // D64 — INCREMENTAL cluster maintenance: a batch of new documents
@@ -425,11 +419,20 @@ object Clusters {
     // AS EDGES (they encode base connectivity transitively), plus the
     // batch-vs-base pairs from the inverted-index PROBE (the base is
     // never re-paired with itself), plus the batch's internal pairs.
-    // CC over that graph provably has the same components as a full
-    // recompute — which is exactly what the oracle does (the same
-    // recursive-CTE closure over ALL documents as dedup_clusters), so
-    // the gate checks the incremental path against the from-scratch
-    // answer. Restricted to edge-incident vertices to match.
+    // CC over that graph has the same components as a full recompute
+    // PROVIDED base, batch, and full corpus agree on the candidate
+    // pair set — exact below ngramJaccardPairs' hot-shingle df cap
+    // (max(1000, 0.1%·docs)), where no shingle is dropped on any
+    // side. Above the cap the df threshold is computed per input
+    // (base-only / batch-only vs the oracle's full corpus), so the
+    // candidate decompositions can differ and incremental components
+    // can diverge from a from-scratch answer; a production run at
+    // that scale would compute the hot-shingle set ONCE over the full
+    // corpus and pass it to both the base pairing and the probe. The
+    // oracle runs the same recursive-CTE closure over ALL documents
+    // as dedup_clusters, so the gate checks the incremental path
+    // against the from-scratch answer in the exact regime.
+    // Restricted to edge-incident vertices to match.
     "cc_incremental" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -87,43 +87,20 @@ object Dedup {
     * for each, exactly the overhead the SyntheticOrders memo removes
     * on the ingest side. A production pipeline does the same thing:
     * the pair graph is computed once per corpus snapshot and stored;
-    * downstream stages read it. Single slot for the same lifetime
-    * reasons as SyntheticOrders.nested.
-    *
-    * INVARIANT: the parquet under a given sfDir is immutable for the
-    * lifetime of a session (true for the driver's fixed test corpora).
-    * Regenerating files in place would serve the old graph — key the
-    * memo by snapshot path (the production shape) if that ever changes.
-    *
-    * The build runs OUTSIDE the lock (double-checked): the CC loop and
-    * pair join are seconds of Spark jobs, and holding the object lock
-    * through them would convoy every concurrent dedup-family caller.
-    * Two racing builders are benign — last one wins, the loser's frame
-    * is just unpersisted-by-GC.
+    * downstream stages read it. Cached in a bounded keyed AssetMemo
+    * (not a single slot — alternating corpora in one session would
+    * thrash build/persist cycles); locking, eviction, and the
+    * immutable-corpus invariant are documented on AssetMemo. Bench
+    * reports the build as its own `shared_pairs_build` line so the
+    * consumers' per-query timings read as marginal costs.
     */
-  @volatile private var pairsMemo: Option[((SparkSession, String), DataFrame)] = None
+  private val pairsMemo = new graft.AssetMemo(8)
 
-  def sharedPairs(s: SparkSession, d: String): DataFrame = {
-    pairsMemo match {
-      case Some(((`s`, `d`), df)) => df
-      case _ =>
-        val df = ngramJaccardPairs(Tables.documents(s, d), 0.5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        synchronized {
-          pairsMemo match {
-            case Some(((`s`, `d`), winner)) =>
-              try df.unpersist(blocking = false) catch { case _: Throwable => () }
-              winner
-            case prev =>
-              prev.foreach { case (_, old) =>
-                try old.unpersist(blocking = false) catch { case _: Throwable => () }
-              }
-              pairsMemo = Some(((s, d), df))
-              df
-          }
-        }
+  def sharedPairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrBuild(s, d) {
+      ngramJaccardPairs(Tables.documents(s, d), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-  }
 
   /** D41 core — INCREMENTAL near-dup probe: an arriving batch checked
     * against an already-indexed base corpus, the way a 100 TB pipeline

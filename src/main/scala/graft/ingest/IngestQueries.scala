@@ -188,11 +188,10 @@ object IngestQueries {
     // wrong partition directory breaks the hash even if no row is lost.
     "partitioned_sink_roundtrip" -> QueryDef(
       (s, d) => {
-        // DETERMINISTIC path per sfDir, overwritten each run — a fresh
-        // createTempDirectory per invocation would leak one full
+        // deterministic per (process, sfDir), overwritten each run — a
+        // fresh createTempDirectory per invocation would leak one full
         // partitioned copy of the fan-out per bench rep / verify run
-        val out = System.getProperty("java.io.tmpdir") +
-          "/graft_psink_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+        val out = Tables.scratchDir(s, d, "psink") + "/orders"
         val fanned = Fanout.withPartitionKeys(
           Fanout.orders(SyntheticOrders.nested(s, d)),
           col("order_date"))

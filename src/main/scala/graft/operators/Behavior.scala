@@ -109,13 +109,16 @@ object Behavior {
     // C72 — RFM segmentation: per-user recency (last event), frequency
     // (event count), monetary (value sum) quintiled into 1–5 scores.
     // One user-keyed aggregate collapses the event stream to one row
-    // per user BEFORE the ntile windows, so the global sorts rank
-    // users, not events (users ≪ events at any scale; for a 10⁹-user
-    // table the quintile boundary would come from approx quantiles
-    // instead — quantile_filter's pattern). Every ntile orders by a
-    // (metric, user_id) pair, so ranks are total-ordered and the
-    // engines cannot disagree on boundary ties. Output is the bounded
-    // 5×5×5 segment matrix.
+    // per user first; then each metric's quintile comes from a
+    // DISTRIBUTED dense rank (range-repartition + per-partition
+    // window + offset broadcast, Relational4.withGlobalIndex) fed into
+    // the exact ntile arithmetic (Packing.ntileFromRank) — bit-for-bit
+    // the SQL ntile the oracle runs, with ZERO single-partition global
+    // Windows (at 10⁹ users a global ntile sort is 3× a one-reducer
+    // stage). Every rank orders by a (metric, user_id) pair, so ranks
+    // are total-ordered and the engines cannot disagree on boundary
+    // ties. n arrives as max(rank) — a broadcast scalar, no second
+    // corpus scan. Output is the bounded 5×5×5 segment matrix.
     "rfm_segments" -> QueryDef(
       (s, d) => {
         val rfm = Tables.events(s, d)
@@ -123,14 +126,19 @@ object Behavior {
           .agg(max("ts").as("last_ts"),
             count(lit(1)).as("freq"),
             round(sum("value"), 4).as("monetary"))
-        val seg = rfm
-          .withColumn("r_score",
-            ntile(5).over(Window.orderBy(col("last_ts"), col("user_id"))))
-          .withColumn("f_score",
-            ntile(5).over(Window.orderBy(col("freq"), col("user_id"))))
-          .withColumn("m_score",
-            ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
-        seg.groupBy("r_score", "f_score", "m_score")
+        val ranked = Seq(
+          ("last_ts", "_r_rank"), ("freq", "_f_rank"), ("monetary", "_m_rank"))
+          .foldLeft(rfm) { case (df, (metric, rankCol)) =>
+            Relational4.withGlobalIndex(df, Seq(metric, "user_id"), 8)
+              .withColumnRenamed("rn", rankCol)
+          }
+        val n = broadcast(ranked.agg(max("_m_rank").as("_n")))
+        ranked.crossJoin(n)
+          .select(
+            Packing.ntileFromRank(col("_r_rank"), col("_n"), 5).as("r_score"),
+            Packing.ntileFromRank(col("_f_rank"), col("_n"), 5).as("f_score"),
+            Packing.ntileFromRank(col("_m_rank"), col("_n"), 5).as("m_score"))
+          .groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_users"))
           .orderBy("r_score", "f_score", "m_score")
       },

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -19,9 +19,12 @@ object Packing {
 
   /** Global order statistics in ONE ranged pass: dense rank `rn`
     * (1-based) and exclusive prefix sum `prefix` of `valueCol` (long)
-    * in `sortCols` order. Range-repartition on the sort key,
-    * per-partition window for both stats, then one broadcast of
-    * per-partition (row count, value total) offsets — the
+    * in `sortCols` order. Range-repartition on the sort key, then a
+    * per-partition window for both stats; the per-partition (row count,
+    * value total) offsets are collected driver-side (#partitions rows —
+    * the `RDD.zipWithIndex` pattern, bounded by the partition count,
+    * never the data) and re-emitted as literal map expressions, so the
+    * plan carries no global window and no offsets join. This is the
     * single-reducer-free formulation of `row_number()` +
     * `sum() OVER (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`. The
     * ranged layout is materialized once for the same reason as
@@ -34,22 +37,45 @@ object Packing {
       .repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val wPid = Window.orderBy("_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("_pid")
+    val stats = ranged.groupBy("_pid")
       .agg(count(lit(1)).as("_pcnt"), sum(col(valueCol)).as("_ptot"))
-      .withColumn("_roff", coalesce(sum(col("_pcnt")).over(wPid), lit(0L)))
-      .withColumn("_voff", coalesce(sum(col("_ptot")).over(wPid), lit(0L)))
-      .select("_pid", "_roff", "_voff")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+    val rowOff = stats.map(_._1)
+      .zip(stats.scanLeft(0L)(_ + _._2).init).toMap
+    val valOff = stats.map(_._1)
+      .zip(stats.scanLeft(0L)(_ + _._3).init).toMap
     val wIn = Window.partitionBy("_pid")
       .orderBy(sortCols.map(c => col(c).asc): _*)
     val wInPre = wIn.rowsBetween(Window.unboundedPreceding, -1)
     ranged
-      .join(broadcast(offsets), "_pid")
-      .withColumn("rn", row_number().over(wIn).cast("long") + col("_roff"))
+      .withColumn("rn",
+        row_number().over(wIn).cast("long") +
+          element_at(typedlit(rowOff), col("_pid")))
       .withColumn("prefix",
-        coalesce(sum(col(valueCol)).over(wInPre), lit(0L)) + col("_voff"))
-      .drop("_pid", "_roff", "_voff")
+        coalesce(sum(col(valueCol)).over(wInPre), lit(0L)) +
+          element_at(typedlit(valOff), col("_pid")))
+      .drop("_pid")
+  }
+
+  /** Exact `ntile(k)` reconstructed from a global dense rank: with n
+    * rows, the first n mod k buckets take ceil(n/k) rows and the rest
+    * floor(n/k) — the SQL-standard definition, applied arithmetically
+    * to (rank, n) so the bucket id never needs the planner's
+    * single-partition global Window. Pair with `withGlobalIndex` /
+    * `withGlobalOrderStats` for the rank. The q=0 (n < k) divide is
+    * unreachable: the big-bucket branch then covers every rank, and
+    * CaseWhen only evaluates the branch it takes.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / lit(k))
+    val r = n % lit(k)
+    val big = r * (q + lit(1))
+    when(rank <= big, floor((rank - lit(1)) / (q + lit(1))) + lit(1))
+      .otherwise(r + floor((rank - big - lit(1)) / q) + lit(1))
+      .cast("int")
   }
 
   private def shuffleKey(salt: String) =

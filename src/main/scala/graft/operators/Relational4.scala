@@ -16,35 +16,35 @@ object Relational4 {
     * window: `row_number() over (order by k)` plans one partition — the
     * classic 100 TB bottleneck. Instead: range-repartition on the sort
     * key (so partition i's keys all precede partition i+1's), number
-    * rows within each partition, and add per-partition offsets computed
-    * from a tiny count-per-partition aggregate (n_partitions rows on the
-    * driver-side window, broadcast back). Ties across a range boundary
-    * would be numbered nondeterministically — callers pass a unique key.
+    * rows within each partition, and add per-partition offsets. The
+    * offsets come from a #partitions-row count aggregate collected
+    * driver-side (the `RDD.zipWithIndex` pattern — bounded by the
+    * partition count, never the data) and re-emitted as a literal map
+    * expression, so no window or join touches the plan at all. Ties
+    * across a range boundary would be numbered nondeterministically —
+    * callers pass a unique key.
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
       partitions: Int): DataFrame = {
     // materialize the ranged layout ONCE: RangePartitioner samples its
-    // boundaries per-RDD, so evaluating this subtree twice (offsets +
-    // final join) could assign the same row to different partitions and
-    // corrupt the numbering if exchange reuse doesn't kick in
+    // boundaries per-RDD, so evaluating this subtree twice (offset
+    // counts + final numbering) could assign the same row to different
+    // partitions and corrupt the numbering
     val ranged = df
       .repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val offsets = ranged.groupBy("_pid").count()
-      .withColumn("_offset",
-        coalesce(sum(col("count")).over(
-          Window.orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
     val wInPart = Window.partitionBy("_pid")
       .orderBy(sortCols.map(c => col(c).asc): _*)
     ranged
-      .join(broadcast(offsets), "_pid")
       .withColumn("rn",
-        (row_number().over(wInPart).cast("long") + col("_offset"))
-          .cast("long"))
-      .drop("_pid", "_offset")
+        row_number().over(wInPart).cast("long") +
+          element_at(typedlit(offsets), col("_pid")))
+      .drop("_pid")
   }
 
   val defs: Map[String, QueryDef] = Map(

@@ -312,8 +312,7 @@ object StreamQueries {
         val corruptPick =
           conv(substring(md5(col("order_id").cast("binary")), 1, 2), 16, 10)
             .cast("int") % 16 === 0
-        val dir = System.getProperty("java.io.tmpdir") +
-          "/graft_dlqwire_" + d.replaceAll("[^A-Za-z0-9]", "_")
+        val dir = graft.Tables.scratchDir(s, d, "dlqwire")
         nested
           .withColumn("data",
             when(corruptPick, substring(EventCodec.encodeCol(nested), 1, 16))

@@ -56,6 +56,19 @@ object CorpusIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
 
+  /** Oracle-side chunk-grid budget, in TOKENS per document. The DuckDB
+    * twins cannot lazily explode a per-row-variable range, so each
+    * chunk oracle unnests a fixed `range(0, N)` grid and filters to
+    * the row's real chunk count — N must be ≥ maxDocTokens/chunkLen or
+    * the oracle silently under-counts chunks and the gate fails
+    * confusingly. One named constant (32× the synthetic corpus' 100-
+    * token max doc; a longer-doc corpus must raise it) so every chunk
+    * width derives its grid from the same budget: 16-token chunks →
+    * 200 rows, 2-token chunks → 1600. The Spark side is unbounded —
+    * this caps ONLY the oracle's unnest grid.
+    */
+  private val OracleMaxDocTokens = 3200
+
   val defs: Map[String, QueryDef] = Map(
 
     // D31 — inverted-index build: term → (document frequency, term
@@ -103,13 +116,14 @@ object CorpusIndex {
     "dedup_exact_para" -> QueryDef(
       (s, d) =>
         chunkDedupStats(Tables.documents(s, d), 16).orderBy("doc_id"),
-      """WITH toks AS (
+      raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
          ch AS (
+           -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
                   array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
-           FROM toks, unnest(range(0, 200)) AS u(i)
+           FROM toks, unnest(range(0, ${OracleMaxDocTokens / 16})) AS u(i)
            WHERE i < len(t) // 16),
          ranked AS (
            SELECT doc_id, pos, chunk,
@@ -156,14 +170,15 @@ object CorpusIndex {
               expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
           .orderBy("doc_id")
       },
-      """WITH toks AS (
+      raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
          meta AS (SELECT doc_id, t, len(t) // 16 AS nchunks FROM toks),
          ch AS (
+           -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
                   array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
-           FROM meta, unnest(range(0, 200)) AS u(i)
+           FROM meta, unnest(range(0, ${OracleMaxDocTokens / 16})) AS u(i)
            WHERE i < nchunks),
          ranked AS (
            SELECT doc_id, pos, chunk,
@@ -223,14 +238,15 @@ object CorpusIndex {
               expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
           .orderBy("doc_id")
       },
-      """WITH toks AS (
+      raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
          meta AS (SELECT doc_id, t, len(t) // 2 AS nchunks FROM toks),
          ch AS (
+           -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
                   array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk
-           FROM meta, unnest(range(0, 400)) AS u(i)
+           FROM meta, unnest(range(0, ${OracleMaxDocTokens / 2})) AS u(i)
            WHERE i < nchunks),
          firsts AS (
            SELECT doc_id, chunk, min(pos) AS pos

@@ -94,29 +94,29 @@ object Vocab {
     // D65 — vocabulary coverage curve: what fraction of corpus token
     // OCCURRENCES the top-k most frequent types cover, at k ∈ {5, 10,
     // 25} (the test corpus has 31 types; a web corpus would probe
-    // {1e3, 1e4, 1e5}) — the metric that sizes a tokenizer vocabulary. One
-    // term-keyed count shuffle; the rank pass orders TYPES (vocabulary-
-    // bounded, ≪ corpus) with a deterministic (count desc, term)
-    // tiebreak; output is three rows. The running sum over ranked types
-    // is a single window over the vocabulary, never the corpus.
+    // {1e3, 1e4, 1e5}) — the metric that sizes a tokenizer vocabulary.
+    // One term-keyed count shuffle; rank AND running sum then come from
+    // ONE distributed ranged pass (Packing.withGlobalOrderStats over
+    // (-c, term): range-repartition + per-partition window + offset
+    // broadcast) — no single-partition global Window, because an open
+    // web-scale vocabulary is 10⁸⁺ types and would one-reducer there.
+    // The (count desc, term) tiebreak keeps ranks total-ordered so the
+    // engines cannot disagree; output is three rows.
     "vocab_coverage" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val counts = Tables.documents(s, d)
           .select(explode(split(trim(col("text")), "\\s+")).as("term"))
           .groupBy("term").agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("c").desc, col("term"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = counts
-          .withColumn("rank", row_number().over(
-            Window.orderBy(col("c").desc, col("term"))))
-          .withColumn("cum", sum("c").over(w))
+        val ranked = graft.operators.Packing.withGlobalOrderStats(
+          counts.withColumn("_negc", -col("c")),
+          Seq("_negc", "term"), "c", 8)
+          .withColumn("cum", col("prefix") + col("c"))
         // the total is the LAST cumulative value — deriving it as
         // max(cum) avoids a second full token scan of the corpus
         val total = ranked.agg(max("cum").as("total"))
-        ranked.filter(col("rank").isin(5, 10, 25))
+        ranked.filter(col("rn").isin(5, 10, 25))
           .crossJoin(broadcast(total))
-          .select(col("rank").cast("long").as("k"),
+          .select(col("rn").cast("long").as("k"),
             col("cum").as("covered_tokens"),
             col("total").as("total_tokens"),
             round(col("cum").cast("double") / col("total"), 6).as("coverage"))
