@@ -32,11 +32,13 @@ object Clusters {
       .distinct()
       .localCheckpoint(true)
     // seed labels with min(id, min neighbor) — the first propagation
-    // round folded into initialization
+    // round folded into initialization. LAZY checkpoint: the first
+    // convergence probe below is the materializing action, so seeding
+    // costs one job, not materialize + probe.
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_mn"))
       .select(col("id"), least(col("id"), col("_mn")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint()
     // labels only ever DECREASE, so the label sum is strictly monotone:
     // equal sums between rounds ⇔ fixpoint. Decimal accumulator — a
     // 100 TB id space would overflow a long sum.
@@ -59,12 +61,17 @@ object Clusters {
       val viaPtr = labels.as("l")
         .join(labels.as("m"), col("l.label") === col("m.id"))
         .select(col("l.id").as("id"), col("m.label").as("label"))
-      // checkpoint BEFORE the convergence probe so `next` executes once
+      // LAZY checkpoint, materialized by the convergence probe: the
+      // probe's aggregate job computes `next` once and caches its
+      // blocks; the following round's joins read the cache. One job
+      // per round instead of eager-materialize + probe (the eager
+      // variant doubled the loop's job count for no extra safety —
+      // the probe always runs immediately after).
       val next = labels.select(col("id"), col("label"))
         .union(viaEdges)
         .union(viaPtr)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint()
       val newSum = labelSum(next)
       labels = next
       converged = newSum.compareTo(prevSum) == 0
@@ -447,14 +454,20 @@ object Clusters {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labelEdges = baseLabels
           .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
-        connectedComponents(
-          labelEdges.unionByName(crossEdges).unionByName(batchEdges))
+        // materialize the update graph ONCE: both the CC run and the
+        // vertex filter below consume it, and without this the probe
+        // and batch shingle joins would re-execute for the filter
+        val updateEdges = labelEdges
+          .unionByName(crossEdges).unionByName(batchEdges)
+          .localCheckpoint(true)
+        connectedComponents(updateEdges)
           // label self-edges (singleton base clusters) make their vertex
           // edge-incident even when the full recompute would not emit
-          // it; keep only vertices a full pairing would return
+          // it; keep only vertices a full pairing would return (cross/
+          // batch pairs are strict doc_a < doc_b, so src =!= dst only
+          // drops the label self-loops)
           .join(
-            labelEdges.filter(col("src") =!= col("dst"))
-              .unionByName(crossEdges).unionByName(batchEdges)
+            updateEdges.filter(col("src") =!= col("dst"))
               .select(explode(array(col("src"), col("dst"))).as("doc_id"))
               .distinct(),
             "doc_id")

@@ -268,17 +268,34 @@ object TimeOps {
               LIMIT 1) c ON true
          ORDER BY purchase_id"""))
 
-  /** C15 — HLL approximate distinct: cross-engine sketch values differ by
-    * construction, so this registers rows-only (spec asserts <5% error vs
-    * exact).
+  /** C15 — HLL approximate distinct, gate-checked as a BOUND: the
+    * sketch estimate itself is engine-specific (DuckDB cannot replicate
+    * Spark's HLL++), so the catalog entry emits the exact count plus a
+    * boolean `hll_within_5pct` derived from the estimate, and the
+    * oracle asserts that boolean is literally `true` — the relative
+    * error bound is hash-gated, not just spec-asserted. rsd=0.01 (the
+    * sketch a production count would use when a 5% answer matters)
+    * leaves 5 standard deviations of headroom to the 5% gate. The
+    * production query is the approx aggregate ALONE — the exact
+    * countDistinct here exists to measure the error, which is the
+    * point of the gate twin. Spec additionally asserts the raw
+    * estimates at <5% error.
     */
   val approxDefs: Map[String, QueryDef] = Map(
     "approx_users" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("_approx"),
+            countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("n"))
+          .select(col("event_type"), col("exact_users"), col("n"),
+            (abs(col("_approx") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.05).as("hll_within_5pct"))
           .orderBy("event_type"),
-      None))
+      """SELECT event_type,
+                count(DISTINCT user_id) AS exact_users,
+                count(*) AS n,
+                true AS hll_within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type"""))
 }

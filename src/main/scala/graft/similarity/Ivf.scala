@@ -76,14 +76,34 @@ object Ivf {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    // D7b — IVF ANN (rows-only: k-means assignment is not SQL-portable;
-    // spec checks recall vs brute force).
+    // D7b — IVF ANN, gate-checked as a RECALL BOUND: the k-means
+    // assignment is not SQL-portable, so the catalog entry runs the
+    // full IVF search (index → probe → rerank, the operator itself),
+    // joins the result against the exact brute-force top-k computed
+    // in-plan, and emits (n_queries, n_results, recall_ok) — the
+    // oracle asserts the query/result counts from the data and
+    // recall_ok=true literally, so recall ≥ 0.5 at nprobe=4/16 (the
+    // DedupSpec threshold) is hash-gated, not just spec-asserted. A
+    // dropped query or short result list breaks n_queries/n_results.
+    // Raw neighbor lists remain available via Ivf.search.
     "knn_ivf" -> QueryDef(
       (s, d) => {
         val emb = graft.Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
         val (assigned, centers) = index(emb, nlist = 16)
-        search(assigned, centers, emb.filter(col("vec_id") < 10), k = 3,
-          nprobe = 4).orderBy("query_id", "rank")
+        val ivf = search(assigned, centers, queries, k = 3, nprobe = 4)
+        val brute = Knn.bruteForce(queries, emb, 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1))
+        ivf.select("query_id", "neighbor_id")
+          .join(brute, Seq("query_id", "neighbor_id"), "left")
+          .agg(countDistinct("query_id").as("n_queries"),
+            count(lit(1)).as("n_results"),
+            (sum(coalesce(col("_hit"), lit(0))).cast("double")
+              / count(lit(1)) >= 0.5).as("recall_ok"))
       },
-      None))
+      """SELECT count(*) AS n_queries,
+                3 * count(*) AS n_results,
+                true AS recall_ok
+         FROM embeddings WHERE vec_id < 10"""))
 }

@@ -20,10 +20,13 @@ import graft.ingest.{EventCodec, SyntheticOrders}
   * DataFrame-to-DataFrame and never sees the source choice — swapping
   * file → Kafka → Kinesis changes exactly one line of pipeline setup.
   * The connector-backed adapters bind the PUBLIC Spark data-source
-  * names; their jars are not in this sandbox, so they are
-  * compile-checked bindings while `FileRecordSource` carries the
-  * runtime spec (SourcesSpec: wire-stage → stream → decode → fan-out
-  * equals the batch transforms).
+  * names; their jars are not in this sandbox (zero egress), so the
+  * `.format(...).load()` line is compile-checked, while everything
+  * else each binding owns — the normalization from the connector's
+  * fixed output schema to the record shape — IS runtime-proven:
+  * SourcesSpec streams records staged in each connector's documented
+  * schema through `normalize` → decode → fan-out and matches the
+  * file-replay adapter on the same records.
   */
 trait RecordSource {
 
@@ -74,20 +77,46 @@ object FileRecordSource {
   * (spark-sql-kafka connector), records normalized from
   * key/value/timestamp. Binary key/value cast to the wire's string
   * base64 payload.
+  *
+  * The connector jar is not in this sandbox (zero egress, not in
+  * /opt/spark/jars), so `.load()` itself cannot execute here; the
+  * normalization below IS runtime-proven — SourcesSpec streams records
+  * staged in [[KafkaRecordSource.connectorSchema]] (the connector's
+  * fixed, documented output shape) through [[KafkaRecordSource.normalize]]
+  * → decode → fan-out and matches the file-replay adapter on the same
+  * records. The only compile-checked-only line left is the format
+  * binding itself.
   */
 final case class KafkaRecordSource(bootstrapServers: String, topic: String,
     startingOffsets: String = "latest") extends RecordSource {
   def stream(s: SparkSession): DataFrame =
-    s.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(
-        col("key").cast("string").as("partition_key"),
-        col("value").cast("string").as("data"),
-        col("timestamp").as("arrival_ts"))
+    KafkaRecordSource.normalize(
+      s.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+}
+
+object KafkaRecordSource {
+
+  /** The kafka source's FIXED output schema (it is not user-definable —
+    * every spark-sql-kafka release emits exactly these columns), which
+    * is what makes the normalization provable without the broker.
+    */
+  val connectorSchema: String =
+    "key BINARY, value BINARY, topic STRING, partition INT, " +
+      "offset BIGINT, timestamp TIMESTAMP, timestampType INT"
+
+  /** Connector output → normalized record shape. Total function of the
+    * input frame: safe on batch or streaming frames in connectorSchema.
+    */
+  def normalize(records: DataFrame): DataFrame =
+    records.select(
+      col("key").cast("string").as("partition_key"),
+      col("value").cast("string").as("data"),
+      col("timestamp").as("arrival_ts"))
 }
 
 /** Kinesis binding: the public Spark Kinesis connector's `aws-kinesis`
@@ -98,14 +127,29 @@ final case class KafkaRecordSource(bootstrapServers: String, topic: String,
 final case class KinesisRecordSource(streamName: String, region: String,
     initialPosition: String = "latest") extends RecordSource {
   def stream(s: SparkSession): DataFrame =
-    s.readStream
-      .format("aws-kinesis")
-      .option("kinesis.streamName", streamName)
-      .option("kinesis.region", region)
-      .option("kinesis.startingposition", initialPosition)
-      .load()
-      .select(
-        col("partitionKey").cast("string").as("partition_key"),
-        col("data").cast("string").as("data"),
-        col("approximateArrivalTimestamp").as("arrival_ts"))
+    KinesisRecordSource.normalize(
+      s.readStream
+        .format("aws-kinesis")
+        .option("kinesis.streamName", streamName)
+        .option("kinesis.region", region)
+        .option("kinesis.startingposition", initialPosition)
+        .load())
+}
+
+object KinesisRecordSource {
+
+  /** The `aws-kinesis` source's record shape (its documented output
+    * columns) — like Kafka's, fixed by the connector, so the
+    * normalization is provable without AWS.
+    */
+  val connectorSchema: String =
+    "partitionKey STRING, data BINARY, streamName STRING, " +
+      "sequenceNumber STRING, approximateArrivalTimestamp TIMESTAMP"
+
+  /** Connector output → normalized record shape. */
+  def normalize(records: DataFrame): DataFrame =
+    records.select(
+      col("partitionKey").cast("string").as("partition_key"),
+      col("data").cast("string").as("data"),
+      col("approximateArrivalTimestamp").as("arrival_ts"))
 }

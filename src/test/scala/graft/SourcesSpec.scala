@@ -40,4 +40,57 @@ class SourcesSpec extends AnyFunSuite {
     val kinesis = KinesisRecordSource("orders-stream", "eu-west-1")
     assert(kafka.topic == "orders" && kinesis.streamName == "orders-stream")
   }
+
+  /** Reference decode of the same wire records through the proven
+    * file-replay path, for the connector-shape parity checks below. */
+  private def batchReference = graft.ingest.SyntheticOrders.nested(spark, sf)
+    .select("order_id", "status", "customer_id")
+    .collect().map(_.toString).sorted.toSeq
+
+  test("kafka normalization is runtime-proven against the connector's wire schema") {
+    // the kafka source's output schema is FIXED by the connector, so
+    // everything this binding owns (normalize → decode → fan-out) runs
+    // for real against records staged in exactly that shape; only the
+    // broker transport (.format("kafka").load()) stays compile-checked
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-wire").toString
+    FileRecordSource.wireRecords(spark, sf)
+      .select(
+        col("partition_key").cast("binary").as("key"),
+        col("data").cast("binary").as("value"),
+        lit("orders").as("topic"),
+        lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        col("arrival_ts").as("timestamp"),
+        lit(0).as("timestampType"))
+      .write.mode("overwrite").parquet(dir)
+    val records = spark.readStream
+      .schema(KafkaRecordSource.connectorSchema)
+      .parquet(dir)
+    val decoded = graft.streaming.StreamQueries.runToMemory(
+      graft.ingest.EventCodec.decode(KafkaRecordSource.normalize(records)),
+      "append")
+      .select("order_id", "status", "customer_id")
+    assert(decoded.collect().map(_.toString).sorted.toSeq == batchReference)
+  }
+
+  test("kinesis normalization is runtime-proven against the connector's wire schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kinesis-wire").toString
+    FileRecordSource.wireRecords(spark, sf)
+      .select(
+        col("partition_key").as("partitionKey"),
+        col("data").cast("binary").as("data"),
+        lit("orders-stream").as("streamName"),
+        format_string("seq-%012d", monotonically_increasing_id())
+          .as("sequenceNumber"),
+        col("arrival_ts").as("approximateArrivalTimestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val records = spark.readStream
+      .schema(KinesisRecordSource.connectorSchema)
+      .parquet(dir)
+    val decoded = graft.streaming.StreamQueries.runToMemory(
+      graft.ingest.EventCodec.decode(KinesisRecordSource.normalize(records)),
+      "append")
+      .select("order_id", "status", "customer_id")
+    assert(decoded.collect().map(_.toString).sorted.toSeq == batchReference)
+  }
 }
