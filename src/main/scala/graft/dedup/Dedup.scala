@@ -102,6 +102,42 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** D70 core — asymmetric CONTAINMENT pairs: C(a ⊆ b) = |Sa ∩ Sb| /
+    * |Sa| ≥ threshold flags doc_a's shingle set as (near-)contained in
+    * doc_b — the quote/snippet/boilerplate-inclusion case Jaccard
+    * misses BY DESIGN: a 50-shingle doc fully embedded in a 5000-
+    * shingle doc has containment 1.0 but Jaccard 0.01, and
+    * ngramJaccardPairs' size-band prune deliberately drops exactly
+    * those size-skewed pairs. Same inverted-index discipline (hot-df
+    * cap, shingle-keyed shuffle); the lossless prune here is
+    * asymmetric: common ≤ nb, so C ≥ t requires nb ≥ t·na. Pairs are
+    * DIRECTED (doc_a contained in doc_b); mutual containment emits
+    * both directions.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L): DataFrame = {
+    val exAll = withShingles(docs)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val hot = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(minDfCap),
+        (col("n_docs") * lit(hotDfFrac)).cast("long")))
+      .select("s")
+    val ex = exAll.join(hot, Seq("s"), "left_anti")
+    ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") >= col("a.n") * lit(threshold))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("a.n")).as("na"))
+      .withColumn("containment", col("common") * lit(1.0) / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** D41 core — INCREMENTAL near-dup probe: an arriving batch checked
     * against an already-indexed base corpus, the way a 100 TB pipeline
     * actually runs dedup (re-pairing the whole corpus per batch would
@@ -517,6 +553,33 @@ object Dedup {
          SELECT doc_a, doc_b,
                 round(common * 1.0 / (na + nb - common), 4) AS jaccard
          FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
+         ORDER BY doc_a, doc_b"""),
+
+    // D70 — directed shingle-containment pairs at 0.8 (see
+    // containmentPairs): the asymmetric complement of dedup_ngram's
+    // Jaccard — catches snippets/quotes embedded in larger documents
+    // that symmetric similarity structurally cannot.
+    "containment_pairs" -> QueryDef(
+      (s, d) =>
+        containmentPairs(Tables.documents(s, d), 0.8)
+          .orderBy("doc_a", "doc_b"),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na
+           FROM ex a JOIN ex b
+             ON a.s = b.s AND a.doc_id <> b.doc_id AND b.n >= a.n * 0.8
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, round(common * 1.0 / na, 4) AS containment
+         FROM cand WHERE common * 1.0 / na >= 0.8
          ORDER BY doc_a, doc_b"""),
 
     // D41 — incremental batch dedup: docs 400+ play the arriving batch,

@@ -48,6 +48,60 @@ object LexStats {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // D69 — per-document n-gram NOVELTY: the fraction of a doc's
+    // distinct 3-gram shingles that appear in NO other document
+    // (corpus df = 1) — the memorization/originality signal behind
+    // boilerplate downweighting and dedup-threshold tuning (a doc of
+    // novelty ~0 is assembled entirely from shared text even if no
+    // single pair crosses the Jaccard cutoff). One shingle-keyed
+    // shuffle for corpus df (open vocabulary — shuffle join back on
+    // the same key, never broadcast), one doc-keyed collapse; the
+    // shingle string crosses the wire once. Novelty divides exact ints
+    // once per doc; docs with <3 tokens have no shingles → NULL
+    // novelty, guarded identically on both engines.
+    "ngram_novelty" -> QueryDef(
+      (s, d) => {
+        val ex = graft.dedup.Dedup.withShingles(Tables.documents(s, d))
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+        val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        val per = ex.join(df, "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        Tables.documents(s, d).select("doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            when(col("n_shingles") > 0,
+              round(col("n_novel").cast("double") / col("n_shingles"), 6))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         per AS (
+           SELECT e.doc_id, count(*) AS n_shingles,
+                  sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+           FROM ex e JOIN df ON e.s = df.s
+           GROUP BY e.doc_id)
+         SELECT d.doc_id,
+                coalesce(p.n_shingles, 0) AS n_shingles,
+                CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                CASE WHEN p.n_shingles > 0
+                     THEN round(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6)
+                END AS novelty
+         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id"""),
+
     // D49 — top bigram collocations by lift = P(ab) / (P(a)·P(b)).
     // Unigram and bigram counts are separate `term`-keyed shuffles; the
     // per-word counts join back on term as SHUFFLE joins (an open

@@ -30,6 +30,26 @@ class DedupSpec extends AnyFunSuite {
     assert(strongRecall >= 0.95, s"strong-pair recall $strongRecall")
   }
 
+  test("containment catches a planted snippet that Jaccard structurally misses") {
+    import spark.implicits._
+    // doc 1 = 30 distinct words embedded verbatim inside doc 2's 300
+    // words: containment(1 ⊆ 2) = 1.0, Jaccard ≈ 28/298 ≈ 0.09
+    val snippet = (1 to 30).map(i => s"w$i").mkString(" ")
+    val filler = (100 to 370).map(i => s"f$i").mkString(" ")
+    val planted = Seq(
+      (1L, snippet, "s", snippet.length.toLong),
+      (2L, s"$filler $snippet", "s", 1L),
+      (3L, (500 to 560).map(i => s"z$i").mkString(" "), "s", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val cont = Dedup.containmentPairs(planted, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly the directed (1 ⊆ 2) pair, got ${cont.toSeq}")
+    val jac = Dedup.ngramJaccardPairs(planted, 0.5).count()
+    assert(jac == 0, "Jaccard at 0.5 must NOT pair the snippet — " +
+      "that asymmetry is the reason containment_pairs exists")
+  }
+
   test("simhash pairs are symmetric-free, within hamming bound, and catch exact dups") {
     val pairs = Dedup.simhashPairs(docs, 3).collect()
     pairs.foreach { r =>
