@@ -43,15 +43,14 @@ object PlanAudit {
     "fanout_purchases", "fanout_addresses", "scd2_history")
 
   /** Queries allowed an unpartitioned (global) Window over input that
-    * is provably NOT corpus-proportional. Only `ks_drift` qualifies:
-    * its window runs over per-distinct-value aggregates, bounded by the
-    * value cardinality of `n_chars`, not by row count. Everything else
-    * with a global Window fails the audit: it plans a single-reducer
-    * sort of its whole input. (withGlobalIndex / withGlobalOrderStats
-    * need no exemption — their offsets are driver-collected counts,
-    * not a window.)
+    * is provably NOT corpus-proportional. EMPTY as of round 5: the last
+    * holder (`ks_drift`, value-cardinality-bounded cumsums) moved onto
+    * the distributed ranged prefix-sum pass, so every global Window is
+    * now a violation — the zero-single-reducer-sort invariant is fully
+    * gated. (withGlobalIndex / withGlobalPrefixSums need no exemption —
+    * their offsets are driver-collected counts, not a window.)
     */
-  private val globalWindowAllow = Set("ks_drift")
+  private val globalWindowAllow = Set.empty[String]
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -32,32 +32,46 @@ object Packing {
     * Callers pass a globally unique sort key.
     */
   def withGlobalOrderStats(df: DataFrame, sortCols: Seq[String],
-      valueCol: String, partitions: Int): DataFrame = {
+      valueCol: String, partitions: Int): DataFrame =
+    withGlobalPrefixSums(df, sortCols, Seq(valueCol), partitions)
+      .withColumnRenamed(s"prefix_$valueCol", "prefix")
+
+  /** Generalization of [[withGlobalOrderStats]] to several long value
+    * columns in one ranged pass: emits `rn` plus `prefix_<col>` (the
+    * exclusive global prefix sum) for each of `valueCols` — e.g. the
+    * two cumulative sample counts of a KS statistic. One
+    * range-repartition, one per-partition window stack, one
+    * #partitions-row driver collect for all offsets.
+    */
+  def withGlobalPrefixSums(df: DataFrame, sortCols: Seq[String],
+      valueCols: Seq[String], partitions: Int): DataFrame = {
     val ranged = df
       .repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val stats = ranged.groupBy("_pid")
-      .agg(count(lit(1)).as("_pcnt"), sum(col(valueCol)).as("_ptot"))
+      .agg(count(lit(1)).as("_pcnt"),
+        valueCols.map(c => sum(col(c)).as(s"_pt_$c")): _*)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))
+        valueCols.indices.map(i =>
+          if (r.isNullAt(i + 2)) 0L else r.getLong(i + 2))))
       .sortBy(_._1)
-    val rowOff = stats.map(_._1)
-      .zip(stats.scanLeft(0L)(_ + _._2).init).toMap
-    val valOff = stats.map(_._1)
-      .zip(stats.scanLeft(0L)(_ + _._3).init).toMap
+    val pids = stats.map(_._1)
+    val rowOff = pids.zip(stats.scanLeft(0L)(_ + _._2).init).toMap
     val wIn = Window.partitionBy("_pid")
       .orderBy(sortCols.map(c => col(c).asc): _*)
     val wInPre = wIn.rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("rn",
-        row_number().over(wIn).cast("long") +
-          element_at(typedlit(rowOff), col("_pid")))
-      .withColumn("prefix",
-        coalesce(sum(col(valueCol)).over(wInPre), lit(0L)) +
+    val withRn = ranged.withColumn("rn",
+      row_number().over(wIn).cast("long") +
+        element_at(typedlit(rowOff), col("_pid")))
+    valueCols.zipWithIndex.foldLeft(withRn) { case (acc, (c, i)) =>
+      val valOff = pids
+        .zip(stats.scanLeft(0L)(_ + _._3(i)).init).toMap
+      acc.withColumn(s"prefix_$c",
+        coalesce(sum(col(c)).over(wInPre), lit(0L)) +
           element_at(typedlit(valOff), col("_pid")))
-      .drop("_pid")
+    }.drop("_pid")
   }
 
   /** Exact `ntile(k)` reconstructed from a global dense rank: with n

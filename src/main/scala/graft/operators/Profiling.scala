@@ -226,23 +226,24 @@ object Profiling {
     // providers' document-length distributions — the distribution-drift
     // alarm run between corpus snapshots or sources. Exact, not
     // sampled: per distinct value, cumulative counts for both samples
-    // come from one conditional aggregate + one value-ordered window
-    // (value-cardinality-bounded, not corpus-bounded), and the KS max
-    // is over exact-integer ratios — deterministic across engines.
+    // come from one conditional aggregate + ONE distributed ranged
+    // prefix-sum pass over the per-value rows (the input is value-
+    // cardinality-bounded already, but the ranged formulation keeps
+    // even a 10⁹-distinct-value domain off a single-reducer window),
+    // and the KS max is over exact-integer ratios — deterministic
+    // across engines.
     "ks_drift" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
           .filter(col("source").isin("src0", "src1"))
           .select(col("source"), col("n_chars"))
         val perVal = docs.groupBy("n_chars")
           .agg(count(when(col("source") === "src0", 1)).as("c0"),
             count(when(col("source") === "src1", 1)).as("c1"))
-        val w = Window.orderBy("n_chars")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val withCum = perVal
-          .withColumn("cum0", sum("c0").over(w))
-          .withColumn("cum1", sum("c1").over(w))
+        val withCum = graft.operators.Packing.withGlobalPrefixSums(
+          perVal, Seq("n_chars"), Seq("c0", "c1"), 8)
+          .withColumn("cum0", col("prefix_c0") + col("c0"))
+          .withColumn("cum1", col("prefix_c1") + col("c1"))
         val tot = withCum.agg(max("cum0").as("n0"), max("cum1").as("n1"))
         withCum.crossJoin(broadcast(tot))
           .agg(first("n0").as("n0"), first("n1").as("n1"),

@@ -52,6 +52,22 @@ class OrderStatsSpec extends AnyFunSuite {
       want.collect().map(_.toSeq).toSet)
   }
 
+  test("withGlobalPrefixSums carries several value columns in one pass") {
+    val df = randomRows(300)
+      .withColumn("w1", (col("v") % 7).cast("long"))
+      .withColumn("w2", (col("v") % 11).cast("long"))
+    val got = Packing.withGlobalPrefixSums(df, Seq("v", "k"),
+      Seq("w1", "w2"), 5).select("k", "prefix_w1", "prefix_w2")
+    val base = Window.orderBy("v", "k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("prefix_w1", coalesce(sum("w1").over(base), lit(0L)))
+      .withColumn("prefix_w2", coalesce(sum("w2").over(base), lit(0L)))
+      .select("k", "prefix_w1", "prefix_w2")
+    assert(got.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+  }
+
   test("ntileFromRank reproduces ntile exactly, including ragged buckets") {
     // n % k != 0 (ragged), n == k, n < k (rank = bucket), k = 1
     for ((n, k) <- Seq((64, 5), (65, 5), (5, 5), (3, 5), (100, 7), (10, 1))) {
