@@ -48,12 +48,34 @@ object Tables {
     * bench rep — and by the Spark applicationId so (a) two drivers
     * benching/verifying the same corpus on one host never race on
     * overwrite-vs-read and (b) the name is not predictable/pre-creatable
-    * by another user of a shared host's global tmpdir.
+    * by another user of a shared host's global tmpdir. Registered for
+    * best-effort recursive delete at JVM exit: per-process names would
+    * otherwise accumulate one copy per session under the global tmpdir.
     */
-  def scratchDir(s: SparkSession, sfDir: String, tag: String): String =
-    System.getProperty("java.io.tmpdir") + "/graft_" + tag + "_" +
+  def scratchDir(s: SparkSession, sfDir: String, tag: String): String = {
+    val dir = System.getProperty("java.io.tmpdir") + "/graft_" + tag + "_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (scratchRegistry.add(dir)) scratchHookInstalled
+    dir
+  }
+
+  private val scratchRegistry =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Installed once, on first scratchDir call (lazy val body runs once). */
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRegistry.forEach { p =>
+        try {
+          import java.nio.file.{Files, Paths}
+          import java.util.Comparator
+          val root = Paths.get(p)
+          if (Files.exists(root))
+            Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => { try Files.delete(f) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }
+      }))
 }
 
 /** One catalog entry: a DataFrame transform plus (when the semantics are

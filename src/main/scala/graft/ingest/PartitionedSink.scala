@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Firehose→S3 dynamic-partitioning analog: parquet partitioned by the
   * derived time keys (`year/month/day/hour`, optionally a leading
@@ -11,15 +12,28 @@ import org.apache.spark.sql.DataFrame
   * would create millions of tiny files; here high-cardinality keys are
   * demoted to `sortWithinPartitions` so they still cluster row-groups
   * (parquet min/max pruning) without exploding the file count.
+  *
+  * The frame is shuffled ON the partition columns before the write:
+  * without it every upstream task opens a writer per partition value it
+  * happens to hold (t tasks × p values → up to t·p splinter files — the
+  * classic dynamic-partition-write mistake; at 32 tasks × 80 months the
+  * roundtrip gate wrote ~2.5k files). After the shuffle each value's
+  * rows are co-located, so the directory gets ONE well-sized file and
+  * the downstream read opens p files, not t·p. AQE's skew handling
+  * still splits a hot partition value if one month dominates.
   */
 object PartitionedSink {
 
   def write(df: DataFrame, path: String,
       partitionCols: Seq[String],
       clusterCols: Seq[String] = Nil): Unit = {
+    val colocated =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
     val clustered =
-      if (clusterCols.isEmpty) df
-      else df.sortWithinPartitions(clusterCols.head, clusterCols.tail: _*)
+      if (clusterCols.isEmpty) colocated
+      else colocated.sortWithinPartitions(
+        clusterCols.head, clusterCols.tail: _*)
     clustered.write
       .mode("overwrite")
       .partitionBy(partitionCols: _*)

@@ -41,8 +41,14 @@ object IngestStream {
     // partitionKeys block), then let every projection pass them through
     val keyed = Fanout.withPartitionKeys(events, ts)
     val timeKeys = Seq("year", "month", "day", "hour")
+    // shuffle each micro-batch ON its partition keys before the write —
+    // without it every micro-batch task opens a writer per partition
+    // value it holds (tasks × values splinter files per TRIGGER, which
+    // compounds far faster than the batch case); same co-location fix
+    // as ingest.PartitionedSink
     def sink(df: DataFrame, name: String, partitions: Seq[String]) =
-      df.writeStream
+      df.repartition(partitions.map(col): _*)
+        .writeStream
         .format("parquet")
         .option("path", s"$outBase/$name")
         .option("checkpointLocation", s"$checkpointBase/$name")
