@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions.col
   * happens to hold (t tasks × p values → up to t·p splinter files — the
   * classic dynamic-partition-write mistake; at 32 tasks × 80 months the
   * roundtrip gate wrote ~2.5k files). After the shuffle each value's
-  * rows are co-located, so the directory gets ONE well-sized file and
-  * the downstream read opens p files, not t·p. AQE's skew handling
-  * still splits a hot partition value if one month dominates.
+  * rows are co-located, so a directory gets few well-sized files and
+  * the downstream read opens ~p files, not t·p. The shuffle is a
+  * REBALANCE hint, not `repartition(cols)`: AQE's skew splitting
+  * (OptimizeSkewInRebalancePartitions) only applies to rebalance-origin
+  * shuffles, so a hot partition value (one month holding 90% of rows)
+  * is split across tasks instead of funneling through one — plain
+  * repartition-by-column would recreate exactly the one-reducer shape
+  * this repo's plan audit forbids.
   */
 object PartitionedSink {
 
@@ -29,7 +34,7 @@ object PartitionedSink {
       clusterCols: Seq[String] = Nil): Unit = {
     val colocated =
       if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
+      else df.hint("rebalance", partitionCols.map(col): _*)
     val clustered =
       if (clusterCols.isEmpty) colocated
       else colocated.sortWithinPartitions(
