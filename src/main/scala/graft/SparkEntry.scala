@@ -51,6 +51,7 @@ object SparkEntry {
       text.Vocab.defs ++
       text.Contamination.defs ++
       text.CorpusIndex.defs ++
+      text.Retrieval.defs ++
       multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -262,5 +262,77 @@ object VectorAnalytics {
                                      ORDER BY dist DESC, vec_id) AS rank
            FROM scored)
          SELECT label, CAST(rank AS INT) AS rank, vec_id, dist
-         FROM ranked WHERE rank <= 3 ORDER BY label, rank"""))
+         FROM ranked WHERE rank <= 3 ORDER BY label, rank"""),
+
+    // D77 — simplified (medoid-free) silhouette per label: a = distance
+    // to own centroid, b = nearest OTHER centroid, sil = (b−a)/max(a,b),
+    // averaged per label — the cluster-quality readout a curation
+    // pipeline checks before trusting centroid_assign labels. Scale
+    // shape mirrors centroid_assign: centroids are label-count-bounded
+    // and broadcast; the corpus streams once through the distance fold
+    // and collapses to (vec, label) then label — no vector ever
+    // shuffles. Determinism: centroids round to 4 dp on both sides
+    // before the SEQUENTIAL per-dim fold (Spark `aggregate` ≡ DuckDB
+    // list comprehension), sqrt/divide are correctly rounded, min/
+    // greatest compare identical doubles, and the final per-label mean
+    // is 4 dp-rounded (lm_score precedent for distributed double avg).
+    // a = b = 0 (vector ON a duplicated centroid) would divide by zero:
+    // guarded to NULL on both sides, and avg skips NULLs identically.
+    "cluster_silhouette" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val cent = emb
+          .select(col("label").as("c_label"), posexplode(col("v")))
+          .groupBy("c_label", "pos")
+          .agg(round(avg("col"), 4).as("m"))
+          .groupBy("c_label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c"))
+        val ab = emb.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            sqrt(aggregate(
+              zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)))
+          .groupBy("vec_id", "label")
+          .agg(
+            min(when(col("c_label") === col("label"), col("dist"))).as("a"),
+            min(when(col("c_label") =!= col("label"), col("dist"))).as("b"))
+        ab.select(col("label"),
+            when(greatest(col("a"), col("b")) > 0,
+              (col("b") - col("a")) / greatest(col("a"), col("b")))
+              .as("sil"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg("sil"), 4).as("avg_sil"))
+          .orderBy("label")
+      },
+      """WITH dims AS (
+           SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT label AS c_label, pos, round(avg(x), 4) AS m
+           FROM dims GROUP BY 1, 2),
+         carr AS (
+           SELECT c_label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
+         scored AS (
+           SELECT e.vec_id, e.label, c.c_label,
+                  sqrt(list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                                 * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                                 for i in range(1, 65)])) AS dist
+           FROM embeddings e, carr c),
+         ab AS (
+           SELECT vec_id, label,
+                  min(CASE WHEN c_label = label THEN dist END) AS a,
+                  min(CASE WHEN c_label <> label THEN dist END) AS b
+           FROM scored GROUP BY 1, 2),
+         sil AS (
+           SELECT label,
+                  CASE WHEN greatest(a, b) > 0
+                       THEN (b - a) / greatest(a, b) END AS s
+           FROM ab)
+         SELECT label, count(*) AS n_vecs, round(avg(s), 4) AS avg_sil
+         FROM sil GROUP BY label ORDER BY label"""))
 }

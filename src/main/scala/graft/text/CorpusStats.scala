@@ -171,5 +171,111 @@ object CorpusStats {
                 count(*) AS shared_chunks
          FROM ch a JOIN ch b
            ON a.chunk = b.chunk AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY src_a, src_b"""))
+         GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+
+    // D74 — per-source length moments (mean/std/skewness) from EXACT
+    // integer power sums: per-element x, x², x³ stay in long (a 10⁶-char
+    // doc cubes to 10¹⁸ < 2⁶³), the sums accumulate in decimal(38,0)
+    // (DuckDB: hugeint) so a 10⁹-doc source cannot overflow, and the
+    // moments are then a fixed tree of correctly-rounded double ops —
+    // the only sqrt/divide appear AFTER aggregation, so accumulation
+    // order cannot diverge between engines. Skewness guards m2 > 0
+    // (constant-length source) on both sides; m2 is clamped at 0 before
+    // sqrt because catastrophic cancellation can leave it at -1e-13 for
+    // near-constant sources (sqrt(-ε) is NaN on both engines, but NaN
+    // vs NULL handling differs — the clamp removes the case entirely).
+    "length_moments" -> QueryDef(
+      (s, d) => {
+        val x = col("n_chars")
+        val st = Tables.documents(s, d)
+          .select(col("source"), x.as("x"), (x * x).as("x2"),
+            (x * x * x).as("x3"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).as("s1"),
+            sum(col("x2").cast("decimal(38,0)")).as("s2"),
+            sum(col("x3").cast("decimal(38,0)")).as("s3"))
+        val n = col("n").cast("double")
+        val mean = col("s1").cast("double") / n
+        val ex2 = col("s2").cast("double") / n
+        val ex3 = col("s3").cast("double") / n
+        val m2 = greatest(ex2 - mean * mean, lit(0.0))
+        val m3 = ex3 - lit(3.0) * mean * ex2 +
+          lit(2.0) * mean * mean * mean
+        st.select(col("source"), col("n"),
+            round(mean, 4).as("mean_len"),
+            round(sqrt(m2), 4).as("std_len"),
+            when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 4)).as("skew_len"))
+          .orderBy("source")
+      },
+      """WITH st AS (
+           SELECT source, count(*) AS n,
+                  CAST(sum(n_chars) AS DOUBLE) AS s1,
+                  CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2,
+                  CAST(sum(n_chars * n_chars * n_chars) AS DOUBLE) AS s3
+           FROM documents GROUP BY source),
+         m AS (
+           SELECT source, n,
+                  s1 / CAST(n AS DOUBLE) AS mean,
+                  s2 / CAST(n AS DOUBLE) AS ex2,
+                  s3 / CAST(n AS DOUBLE) AS ex3
+           FROM st),
+         mm AS (
+           SELECT source, n, mean,
+                  greatest(ex2 - mean * mean, 0.0) AS m2,
+                  ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean AS m3
+           FROM m)
+         SELECT source, n, round(mean, 4) AS mean_len,
+                round(sqrt(m2), 4) AS std_len,
+                CASE WHEN m2 > 0
+                     THEN round(m3 / (m2 * sqrt(m2)), 4) END AS skew_len
+         FROM mm ORDER BY source"""),
+
+    // D75 — per-source token concentration: Herfindahl index over the
+    // term distribution plus its reciprocal (effective vocabulary
+    // size) — the diversity check that catches a source collapsing to
+    // boilerplate before it pollutes a training mix. HHI = Σc² / N² is
+    // computed from EXACT integer sums (c² in long per term, summed in
+    // decimal(38,0) / hugeint) with exactly two double ops at the end —
+    // no float accumulation anywhere, so the 6 dp round is safe at any
+    // scale. Term counts are an open vocabulary: the (source, term)
+    // aggregate shuffles, nothing is ever broadcast.
+    "term_concentration" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val agg = toks.groupBy("source", "term")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("c")).as("n_tokens"),
+            sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+        val nd = col("n_tokens").cast("double")
+        val hhi = col("s2").cast("double") / (nd * nd)
+        agg.select(col("source"), col("n_terms"), col("n_tokens"),
+            round(hhi, 6).as("hhi"),
+            round(lit(1.0) / hhi, 4).as("eff_terms"))
+          .orderBy("source")
+      },
+      raw"""WITH toks AS (
+           SELECT source,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         t2 AS (SELECT * FROM toks WHERE term <> ''),
+         tc AS (SELECT source, term, count(*) AS c
+                FROM t2 GROUP BY source, term),
+         agg AS (
+           SELECT source, count(*) AS n_terms,
+                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(sum(c * c) AS DOUBLE) AS s2
+           FROM tc GROUP BY source)
+         SELECT source, n_terms, n_tokens,
+                round(s2 / (CAST(n_tokens AS DOUBLE)
+                            * CAST(n_tokens AS DOUBLE)), 6) AS hhi,
+                round(1.0 / (s2 / (CAST(n_tokens AS DOUBLE)
+                                   * CAST(n_tokens AS DOUBLE))), 4)
+                  AS eff_terms
+         FROM agg ORDER BY source"""))
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Retrieval
+
+/** Planted-data semantics for the retrieval/diagnostic operators: BM25
+  * ranking monotonicity, repeated-run extraction (incl. the first-run
+  * tiebreak the oracle mirrors via island start), and the catalog-level
+  * invariants of the growth/concentration curves at sf0.001.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("max token run finds the longest repeat and first-run ties win") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"), // clear winner a×3
+      (2L, "x x y y"),     // tie 2-2 → first run (x) wins
+      (3L, "solo")         // single token → run 1
+    ).toDF("doc_id", "text")
+    val r = Retrieval.maxTokenRun(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((3L, "a")))
+    assert(r(2L) == ((2L, "x")))
+    assert(r(3L) == ((1L, "solo")))
+  }
+
+  test("bm25 ranks higher-tf docs first and values idf of rare terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler"),
+      (4L, "rare filler filler filler filler filler"),
+      (5L, "other words entirely here now yes")
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.bm25TopK(docs, Seq("spark", "rare"), 10).collect()
+    val ids = hits.map(_.getLong(0)).toSeq
+    // docs 3 and 5 contain no query term → absent entirely
+    assert(!ids.contains(3L) && !ids.contains(5L))
+    // the rare term (df=1) outscores a single hit of the common term
+    // (df=2), and tf=3 of 'spark' still beats them per BM25 saturation
+    val score = hits.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(4L) > score(2L))
+    assert(ids.head == 1L || score(1L) > score(2L))
+  }
+
+  test("shingle df histogram masses reconcile with the corpus") {
+    val q = SparkEntry.queries("shingle_df_hist")(spark, TestSpark.sf)
+    val rows = q.collect()
+    // occurrence mass per bucket is df × n_shingles by construction
+    rows.foreach(r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    // total occurrences = total exploded distinct shingles corpus-wide
+    val total = rows.map(_.getLong(2)).sum
+    val direct = graft.dedup.Dedup
+      .withShingles(Tables.documents(spark, TestSpark.sf))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shingles")))
+      .count()
+    assert(total == direct)
+  }
+
+  test("vocab growth is monotone and ends at the full corpus totals") {
+    val rows = SparkEntry.queries("vocab_growth")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 10)
+    val (docs, toks, terms) = (rows.map(_.getLong(1)),
+      rows.map(_.getLong(2)), rows.map(_.getLong(3)))
+    Seq(docs, toks, terms).foreach(a =>
+      assert(a.zip(a.tail).forall { case (x, y) => x <= y }, a.toSeq))
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    assert(docs.last == n)
+  }
+
+  test("cluster silhouette stays in [-1, 1] and covers every label") {
+    val rows = SparkEntry.queries("cluster_silhouette")(spark, TestSpark.sf)
+      .collect()
+    val nLabels = Tables.embeddings(spark, TestSpark.sf)
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 && s <= 1.0, s"label ${r.getInt(0)}: $s")
+    }
+  }
+
+  test("term concentration: hhi bounds and effective terms reciprocal") {
+    val rows = SparkEntry.queries("term_concentration")(spark, TestSpark.sf)
+      .collect()
+    rows.foreach { r =>
+      val (nTerms, hhi, eff) =
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / nTerms - 1e-6 && hhi <= 1.0)
+      assert(math.abs(eff * hhi - 1.0) < 1e-2)
+    }
+  }
+}
