@@ -280,15 +280,25 @@ object TimeOps {
     * countDistinct here exists to measure the error, which is the
     * point of the gate twin. Spec additionally asserts the raw
     * estimates at <5% error.
+    *
+    * Plan shape: the exact count is staged as a (event_type, user_id)
+    * pre-aggregate feeding a plain count — NOT countDistinct mixed
+    * into the same agg as the sketch, which would make Catalyst plan
+    * an Expand that doubles every input row before the shuffle. Both
+    * phases partial-aggregate map-side, and the HLL only ever sees
+    * the deduplicated pairs (multiplicity-insensitive, so the
+    * estimate is unchanged).
     */
   val approxDefs: Map[String, QueryDef] = Map(
     "approx_users" -> QueryDef(
       (s, d) =>
         Tables.events(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("_rows"))
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("_approx"),
-            countDistinct(col("user_id")).as("exact_users"),
-            count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("exact_users"),
+            sum("_rows").as("n"),
+            approx_count_distinct(col("user_id"), 0.01).as("_approx"))
           .select(col("event_type"), col("exact_users"), col("n"),
             (abs(col("_approx") - col("exact_users")).cast("double")
               / col("exact_users") <= 0.05).as("hll_within_5pct"))

@@ -48,20 +48,40 @@ object StreamQueries {
     }
   }
 
+  /** Clamp `spark.sql.shuffle.partitions` to ≤8 for the duration of a
+    * streaming run, restoring the caller's value afterwards. A stateful
+    * micro-batch pays a PER-PARTITION fixed cost (one state store
+    * instance + checkpoint commit each) every trigger, so at the gate's
+    * data volume 32 shuffle partitions are 32 state-store commits for a
+    * handful of rows each — pure overhead. Stream results are
+    * partition-count-independent (hash partitioning only moves rows),
+    * so this is a latency knob, not a semantics knob; a production
+    * deployment sizes it to state volume instead. The conf is read at
+    * query START (recorded into the new checkpoint), so restoring after
+    * termination cannot affect the running query.
+    */
+  def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run an AvailableNow stream into a uniquely-named memory sink and
     * return the sink table after termination.
     */
-  def runToMemory(df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  def runToMemory(df: DataFrame, mode: String): DataFrame =
+    withStreamShuffle(df.sparkSession) {
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -171,7 +191,7 @@ object StreamQueries {
           .selectExpr("CAST(user_id AS STRING) AS key",
             "event_id AS seq", "event_type AS value")
           .as[LatestKV.KV](org.apache.spark.sql.Encoders.product[LatestKV.KV])
-        val q = LatestKV.latest(kv).toDF().writeStream
+        val q0 = LatestKV.latest(kv).toDF().writeStream
           .outputMode("update")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -196,8 +216,10 @@ object StreamQueries {
             fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
             ()
           }
-          .start()
-        q.awaitTermination()
+        withStreamShuffle(s) {
+          val q = q0.start()
+          q.awaitTermination()
+        }
         // max-seq collapse per key: a no-op for a single AvailableNow
         // batch, correctness if the source ever splits batches
         val w = Window.partitionBy("key").orderBy(col("seq").desc)
@@ -360,14 +382,16 @@ object StreamQueries {
           graft.ingest.Fanout.productDetails(graft.ingest.EventCodec.decode(raw))
         val out = java.nio.file.Files
           .createTempDirectory("graft_fanout_sink").toString
-        val q = products.writeStream
-          .format("parquet")
-          .option("path", s"$out/data")
-          .option("checkpointLocation", s"$out/_cp")
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStreamShuffle(s) {
+          val q = products.writeStream
+            .format("parquet")
+            .option("path", s"$out/data")
+            .option("checkpointLocation", s"$out/_cp")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(s"$out/data").orderBy("order_id", "line_number")
       },
       """SELECT concat('p', l_partkey) AS product_id,
