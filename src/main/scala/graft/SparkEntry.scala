@@ -39,6 +39,7 @@ object SparkEntry {
       text.CorpusStats.defs ++
       streaming.StreamQueries.defs ++
       dedup.Dedup.defs ++
+      dedup.Dedup.evalDefs ++
       dedup.Clusters.defs ++
       similarity.Knn.defs ++
       similarity.Ivf.defs ++

@@ -675,4 +675,57 @@ object Dedup {
             ON a.label = b.label AND a.vec_id < b.vec_id
           WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.99
           ORDER BY vec_a, vec_b"""))
+
+  /** D78 — LSH evaluation harness: MinHash-LSH pair recall/precision
+    * against the exact inverted-index pairs at the same threshold — the
+    * measurement every dedup pipeline runs before trusting an
+    * approximate method at corpus scale (band/row tuning is meaningless
+    * without it). Reuses the memoized exact pair asset; the LSH side is
+    * the production candidate path. Counts join on the pair key — both
+    * sides are pair-bounded, far smaller than the corpus. Ratios are
+    * exact-integer divisions, NULL-guarded at zero on both engines
+    * (Spark div-by-zero yields NULL, DuckDB yields NaN — the guard
+    * removes the divergence). The oracle recomposes the two
+    * independently gate-proven replicas (murmur3-exact signatures and
+    * the shingle inverted index) as derived tables.
+    *
+    * Defined OUTSIDE `defs` because it quotes the dedup_ngram oracle —
+    * a self-reference during the map's own initialization would NPE.
+    */
+  lazy val evalDefs: Map[String, QueryDef] = {
+    val exactSql = defs("dedup_ngram").oracle.get
+    val lshSql = MurmurSql.minhashPairsSql
+    Map("lsh_recall" -> QueryDef(
+      (s, d) => {
+        val exact = sharedPairs(s, d).select("doc_a", "doc_b")
+        val lsh = minhashPairs(Tables.documents(s, d), 0.5)
+          .select(col("doc_a").as("l_a"), col("doc_b").as("l_b"))
+        exact
+          .join(lsh, col("doc_a") === col("l_a") &&
+            col("doc_b") === col("l_b"), "full_outer")
+          .agg(count(col("doc_a")).as("n_exact"),
+            count(col("l_a")).as("n_lsh"),
+            count(when(col("doc_a").isNotNull && col("l_a").isNotNull,
+              lit(1))).as("n_common"))
+          .select(col("n_exact"), col("n_lsh"), col("n_common"),
+            when(col("n_exact") > 0,
+              round(col("n_common") * lit(1.0) / col("n_exact"), 4))
+              .as("recall"),
+            when(col("n_lsh") > 0,
+              round(col("n_common") * lit(1.0) / col("n_lsh"), 4))
+              .as("precision"))
+      },
+      s"""SELECT n_exact, n_lsh, n_common,
+                 CASE WHEN n_exact > 0
+                      THEN round(n_common * 1.0 / n_exact, 4) END AS recall,
+                 CASE WHEN n_lsh > 0
+                      THEN round(n_common * 1.0 / n_lsh, 4) END AS precision
+          FROM (
+            SELECT
+              (SELECT count(*) FROM ($exactSql) t) AS n_exact,
+              (SELECT count(*) FROM ($lshSql) t) AS n_lsh,
+              (SELECT count(*)
+               FROM ($exactSql) a JOIN ($lshSql) b
+                 ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b) AS n_common) s"""))
+  }
 }

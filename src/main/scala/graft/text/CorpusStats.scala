@@ -277,5 +277,55 @@ object CorpusStats {
                 round(1.0 / (s2 / (CAST(n_tokens AS DOUBLE)
                                    * CAST(n_tokens AS DOUBLE))), 4)
                   AS eff_terms
-         FROM agg ORDER BY source"""))
+         FROM agg ORDER BY source"""),
+
+    // D79 — per-source Gini coefficient of document lengths (the
+    // inequality readout a data-mix design checks: a source whose token
+    // mass is concentrated in a few giant documents behaves very
+    // differently under doc-level sampling than its doc count
+    // suggests). Per-source ranks come from ONE global ranged pass
+    // sorted source-major ((source, n_chars, doc_id) — unique, so both
+    // engines rank identically) minus a broadcast per-source rank
+    // offset: no per-source window, so one hot source cannot serialize
+    // into a single task the way partitionBy(source) would at 100 TB.
+    // Σi·x products stay in long per element and accumulate in
+    // decimal(38,0)/hugeint; the Gini formula is then a fixed tree of
+    // correctly-rounded double ops — deterministic at 4 dp.
+    "length_gini" -> QueryDef(
+      (s, d) => {
+        val ranked = graft.operators.Packing.withGlobalOrderStats(
+          Tables.documents(s, d).select("source", "n_chars", "doc_id"),
+          Seq("source", "n_chars", "doc_id"), "n_chars", 32)
+        val minrn = ranked.groupBy(col("source").as("_src"))
+          .agg(min("rn").as("_min_rn"))
+        val agg = ranked
+          .join(broadcast(minrn), col("source") === col("_src"))
+          .withColumn("i", col("rn") - col("_min_rn") + 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sumx"),
+            sum((col("i") * col("n_chars")).cast("decimal(38,0)"))
+              .as("sumix"))
+        val nd = col("n").cast("double")
+        val sx = col("sumx").cast("double")
+        val six = col("sumix").cast("double")
+        agg.select(col("source"), col("n"),
+            round((lit(2.0) * six - (nd + 1.0) * sx) / (nd * sx), 4)
+              .as("gini"))
+          .orderBy("source")
+      },
+      """WITH r AS (
+           SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS i
+           FROM documents),
+         a AS (
+           SELECT source, count(*) AS n,
+                  CAST(sum(n_chars) AS DOUBLE) AS sumx,
+                  CAST(sum(i * n_chars) AS DOUBLE) AS sumix
+           FROM r GROUP BY source)
+         SELECT source, n,
+                round((2.0 * sumix - (CAST(n AS DOUBLE) + 1.0) * sumx)
+                      / (CAST(n AS DOUBLE) * sumx), 4) AS gini
+         FROM a ORDER BY source"""))
 }

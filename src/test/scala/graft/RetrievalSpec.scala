@@ -85,6 +85,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh recall: perfect precision, bounded recall vs exact pairs") {
+    val r = SparkEntry.queries("lsh_recall")(spark, TestSpark.sf).head
+    val (nExact, nLsh, nCommon) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nCommon <= math.min(nExact, nLsh))
+    // LSH candidates are verified with exact Jaccard and the exact
+    // side's prunes are lossless below the df cap → precision is 1
+    if (nLsh > 0) assert(r.getDouble(4) == 1.0)
+    if (nExact > 0) {
+      val recall = r.getDouble(3)
+      assert(recall > 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("length gini stays in [0, 1) and covers every source") {
+    val rows = SparkEntry.queries("length_gini")(spark, TestSpark.sf)
+      .collect()
+    val nSources = Tables.documents(spark, TestSpark.sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"source ${r.getString(0)}: $g")
+    }
+  }
+
   test("term concentration: hhi bounds and effective terms reciprocal") {
     val rows = SparkEntry.queries("term_concentration")(spark, TestSpark.sf)
       .collect()
