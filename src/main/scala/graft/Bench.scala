@@ -39,6 +39,10 @@ object Bench {
   private val sharedAssetBuilds
       : Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
     Seq(
+      "nested_orders_build" -> ((s, d) =>
+        graft.ingest.SyntheticOrders.nested(s, d)),
+      "wire_events_build" -> ((s, d) =>
+        graft.ingest.SyntheticOrders.wire(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
       "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)))
 
