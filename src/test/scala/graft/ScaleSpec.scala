@@ -39,6 +39,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(allDays > 1, "test needs multiple partitions")
   }
 
+  test("partitioned sink splits a hot partition value across writer tasks") {
+    import spark.implicits._
+    // 9:1 skew: one partition value carries ~19 MB, six carry ~0.2 MB.
+    // With a 1 MB advisory size AQE's rebalance skew-split must fan the
+    // hot value across several writer tasks (>1 file in its directory)
+    // while the small values stay single-file — the exact behavior the
+    // sink's REBALANCE hint (vs repartition-by-column, which pins each
+    // value to ONE reducer) exists to buy.
+    // per-row pseudorandom payload: AQE sizes COMPRESSED shuffle bytes,
+    // so a constant string would deflate to nothing and dodge the split
+    val payload = concat((0 until 6).map(i =>
+      md5(concat(col("id").cast("string"), lit(s"_$i")))): _*)
+    val hot = spark.range(90000).select(lit("hot").as("k"),
+      col("id"), payload.as("p"))
+    val cold = spark.range(6000).select(
+      concat(lit("c"), (col("id") % 6)).as("k"), col("id"),
+      payload.as("p"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1m")
+    try ingest.PartitionedSink.write(hot.union(cold), dir, Seq("k"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    def files(sub: String): Int =
+      new java.io.File(s"$dir/k=$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(files("hot") > 1, "hot partition value not skew-split")
+    (0 until 6).foreach(i =>
+      assert(files(s"c$i") == 1, s"small value c$i splintered"))
+    // and the write is lossless
+    assert(spark.read.parquet(dir).count() == 96000)
+  }
+
   test("dynamic partition overwrite backfills one day without touching others") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
