@@ -25,6 +25,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, "solo")))
   }
 
+  test("max token run edge cases: empty text and whitespace-only") {
+    import spark.implicits._
+    // split(trim(...)) yields [""] for empty/blank text on both engines
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a")).toDF("doc_id", "text")
+    val r = Retrieval.maxTokenRun(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((1L, "")) && r(2L) == ((1L, "")))
+    assert(r(3L) == ((1L, "a")))
+  }
+
+  test("bm25 with no matching term returns an empty frame, not an error") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    assert(Retrieval.bm25TopK(docs, Seq("absent"), 5).count() == 0)
+  }
+
   test("bm25 ranks higher-tf docs first and values idf of rare terms") {
     import spark.implicits._
     val docs = Seq(
