@@ -296,7 +296,10 @@ object TimeOps {
           .groupBy("event_type", "user_id")
           .agg(count(lit(1)).as("_rows"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("exact_users"),
+          // count(user_id), not count(*): the pre-aggregate emits one
+          // row for a NULL user_id group, which countDistinct (and the
+          // oracle's count(DISTINCT ...)) would exclude
+          .agg(count(col("user_id")).as("exact_users"),
             sum("_rows").as("n"),
             approx_count_distinct(col("user_id"), 0.01).as("_approx"))
           .select(col("event_type"), col("exact_users"), col("n"),

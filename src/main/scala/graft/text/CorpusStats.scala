@@ -310,7 +310,8 @@ object CorpusStats {
         val sx = col("sumx").cast("double")
         val six = col("sumix").cast("double")
         agg.select(col("source"), col("n"),
-            round((lit(2.0) * six - (nd + 1.0) * sx) / (nd * sx), 4)
+            when(col("sumx") > 0,
+              round((lit(2.0) * six - (nd + 1.0) * sx) / (nd * sx), 4))
               .as("gini"))
           .orderBy("source")
       },
@@ -325,7 +326,8 @@ object CorpusStats {
                   CAST(sum(i * n_chars) AS DOUBLE) AS sumix
            FROM r GROUP BY source)
          SELECT source, n,
-                round((2.0 * sumix - (CAST(n AS DOUBLE) + 1.0) * sumx)
-                      / (CAST(n AS DOUBLE) * sumx), 4) AS gini
+                CASE WHEN sumx > 0 THEN
+                  round((2.0 * sumix - (CAST(n AS DOUBLE) + 1.0) * sumx)
+                        / (CAST(n AS DOUBLE) * sumx), 4) END AS gini
          FROM a ORDER BY source"""))
 }
