@@ -726,6 +726,42 @@ object Dedup {
               (SELECT count(*) FROM ($lshSql) t) AS n_lsh,
               (SELECT count(*)
                FROM ($exactSql) a JOIN ($lshSql) b
-                 ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b) AS n_common) s"""))
+                 ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b) AS n_common) s"""),
+
+    // D80 — cross-modal pair verification: every lexical near-dup pair
+    // (Jaccard ≥ 0.5, the shared pair asset) annotated with the
+    // embedding cosine of its two documents and a semantic-agreement
+    // verdict — the audit a pipeline runs before trusting lexical dedup
+    // to stand in for semantic dedup (high-Jaccard/low-cosine pairs are
+    // template reuse, the reverse are paraphrases). The pair set is
+    // dup-bounded, so joining it against the embedding table twice is
+    // two key-partitioned probes of a corpus-scale side — never a
+    // corpus×corpus product. The verdict compares the 4 dp-ROUNDED
+    // cosine on both engines (codegen'd CosineSimilarity ≡ duckCosine's
+    // sequential fold, the dedup_embedding-proven twin), so a last-ulp
+    // divergence cannot flip the boolean.
+    "semantic_pair_verify" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        sharedPairs(s, d)
+          .join(emb.select(col("vec_id").as("doc_a"),
+            col("embedding").as("ea")), "doc_a")
+          .join(emb.select(col("vec_id").as("doc_b"),
+            col("embedding").as("eb")), "doc_b")
+          .withColumn("cosine",
+            round(VectorOps.cosine(col("ea"), col("eb")), 4))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            col("cosine"), (col("cosine") >= 0.9).as("semantic_agree"))
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""SELECT p.doc_a, p.doc_b, p.jaccard,
+                 round(${duckCosine("ea.embedding", "eb.embedding")}, 4)
+                   AS cosine,
+                 (round(${duckCosine("ea.embedding", "eb.embedding")}, 4)
+                   >= CAST(0.9 AS DOUBLE)) AS semantic_agree
+          FROM ($exactSql) p
+          JOIN embeddings ea ON ea.vec_id = p.doc_a
+          JOIN embeddings eb ON eb.vec_id = p.doc_b
+          ORDER BY doc_a, doc_b"""))
   }
 }

@@ -115,6 +115,18 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic pair verify covers every lexical pair with a coherent verdict") {
+    val pairs = graft.dedup.Dedup.sharedPairs(spark, TestSpark.sf).count()
+    val rows = SparkEntry.queries("semantic_pair_verify")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == pairs, "every lexical pair must be annotated")
+    rows.foreach { r =>
+      val (cos, agree) = (r.getDouble(3), r.getBoolean(4))
+      assert(cos >= -1.0001 && cos <= 1.0001)
+      assert(agree == (cos >= 0.9))
+    }
+  }
+
   test("length gini stays in [0, 1) and covers every source") {
     val rows = SparkEntry.queries("length_gini")(spark, TestSpark.sf)
       .collect()
