@@ -762,6 +762,70 @@ object Dedup {
           FROM ($exactSql) p
           JOIN embeddings ea ON ea.vec_id = p.doc_a
           JOIN embeddings eb ON eb.vec_id = p.doc_b
-          ORDER BY doc_a, doc_b"""))
+          ORDER BY doc_a, doc_b"""),
+
+    // D81 — duplication-vs-length correlation: Pearson r between each
+    // document's length and its near-dup-graph degree (0 for clean
+    // docs) — the one-number answer to "is our duplication concentrated
+    // in long boilerplate or short snippets?", which decides whether
+    // dedup should run before or after length filtering. Degree comes
+    // from the shared pair asset (dup-bounded); the moments are EXACT
+    // integer power sums (x·y, x², y² in long per row — a 10⁶-char doc
+    // with 10⁴ dup edges is 10¹⁰ ≪ 2⁶³ — accumulated in decimal(38,0)
+    // / hugeint), so r is a fixed tree of correctly-rounded double ops:
+    // deterministic at 4 dp with no float-accumulation hazard.
+    // Zero-variance corpora (no dups, or constant lengths) NULL-guard
+    // identically on both engines.
+    "dup_length_corr" -> QueryDef(
+      (s, d) => {
+        val deg = sharedPairs(s, d)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+        val j = Tables.documents(s, d)
+          .join(deg, col("doc_id") === col("id"), "left")
+          .select(col("n_chars").as("x"),
+            coalesce(col("degree"), lit(0L)).as("y"))
+        val a = j.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("sy2"),
+          sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_dup"))
+        val nd = col("n").cast("double")
+        val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+        val vx = nd * col("sx2").cast("double") - sx * sx
+        val vy = nd * col("sy2").cast("double") - sy * sy
+        a.select(col("n").as("n_docs"), col("n_dup").as("n_dup_docs"),
+          when(vx > 0 && vy > 0,
+            round((nd * col("sxy").cast("double") - sx * sy)
+              / (sqrt(vx) * sqrt(vy)), 4)).as("corr"))
+      },
+      s"""WITH deg AS (
+            SELECT id, count(*) AS degree
+            FROM (SELECT doc_a AS id FROM ($exactSql) p
+                  UNION ALL SELECT doc_b FROM ($exactSql) p)
+            GROUP BY id),
+          j AS (
+            SELECT d.n_chars AS x, coalesce(g.degree, 0) AS y
+            FROM documents d LEFT JOIN deg g ON d.doc_id = g.id),
+          a AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sx2,
+                   CAST(sum(y * y) AS DOUBLE) AS sy2,
+                   CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup
+            FROM j)
+          SELECT n AS n_docs, n_dup AS n_dup_docs,
+                 CASE WHEN (CAST(n AS DOUBLE) * sx2 - sx * sx) > 0
+                       AND (CAST(n AS DOUBLE) * sy2 - sy * sy) > 0
+                      THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                                * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)),
+                             4) END AS corr
+          FROM a"""))
   }
 }

@@ -214,6 +214,68 @@ object Retrieval {
          JOIN voc v ON v.decile = c.decile
          ORDER BY decile"""),
 
+    // D82 — document-level co-occurrence lift for the top-20 terms by
+    // document frequency: lift(a,b) = P(a,b)/(P(a)·P(b)) over doc
+    // presence — the topic-structure complement of token_pmi's
+    // ADJACENCY lift. Scale shape: the top-k term set is a bounded
+    // broadcast (k = 20 regardless of corpus), presence rows are ≤ k
+    // per doc, and the within-doc pair space is ≤ k(k−1)/2 per doc —
+    // the corpus streams once and nothing unbounded ever pairs. Counts
+    // are exact ints; the lift is one division tree rounded at 4 dp.
+    // Top-k selection total-orders on (df DESC, term) so both engines
+    // cut the same set.
+    "doc_cooccur_lift" -> QueryDef(
+      (s, d) => {
+        val pres = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(trim(col("text")), "\\s+")))
+              .as("term"))
+          .filter(col("term") =!= "")
+        val nDocs = Tables.documents(s, d)
+          .agg(count(lit(1)).as("n_docs"))
+        val top = pres.groupBy("term")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(20)
+        val tpres = pres.join(broadcast(top), "term")
+        val pairs = tpres.select(col("doc_id"), col("term").as("term_a"),
+            col("df").as("df_a"))
+          .join(tpres.select(col("doc_id"), col("term").as("term_b"),
+            col("df").as("df_b")), "doc_id")
+          .filter(col("term_a") < col("term_b"))
+          .groupBy("term_a", "term_b")
+          .agg(count(lit(1)).as("n_ab"),
+            first("df_a").as("df_a"), first("df_b").as("df_b"))
+        pairs.crossJoin(broadcast(nDocs))
+          .select(col("term_a"), col("term_b"), col("n_ab"),
+            round(col("n_ab").cast("double") * col("n_docs")
+              / (col("df_a").cast("double") * col("df_b")), 4).as("lift"))
+          .orderBy("term_a", "term_b")
+      },
+      raw"""WITH $duckToks,
+         pres AS (
+           SELECT doc_id, unnest(list_distinct(t)) AS term
+           FROM toks),
+         p2 AS (SELECT * FROM pres WHERE term <> ''),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         top AS (
+           SELECT term, count(*) AS df FROM p2 GROUP BY term
+           ORDER BY df DESC, term LIMIT 20),
+         tp AS (SELECT p.doc_id, p.term, t.df
+                FROM p2 p JOIN top t USING (term)),
+         pairs AS (
+           SELECT a.term AS term_a, b.term AS term_b,
+                  count(*) AS n_ab,
+                  any_value(a.df) AS df_a, any_value(b.df) AS df_b
+           FROM tp a JOIN tp b
+             ON a.doc_id = b.doc_id AND a.term < b.term
+           GROUP BY 1, 2)
+         SELECT term_a, term_b, n_ab,
+                round(CAST(n_ab AS DOUBLE) * n.n_docs
+                      / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)), 4)
+                  AS lift
+         FROM pairs, n ORDER BY term_a, term_b"""),
+
     // D76 — longest repeated-token run per doc (degenerate-text probe).
     "max_token_run" -> QueryDef(
       (s, d) => maxTokenRun(Tables.documents(s, d)),

@@ -127,6 +127,26 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("doc co-occurrence lift covers all top-term pairs with sane values") {
+    val rows = SparkEntry.queries("doc_cooccur_lift")(spark, TestSpark.sf)
+      .collect()
+    // small synthetic vocabulary: all 20 top terms co-occur somewhere
+    assert(rows.length == 190)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("dup-length correlation is a single bounded row") {
+    val r = SparkEntry.queries("dup_length_corr")(spark, TestSpark.sf).head
+    assert(r.getLong(1) <= r.getLong(0))
+    if (!r.isNullAt(2)) {
+      val c = r.getDouble(2)
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   test("length gini stays in [0, 1) and covers every source") {
     val rows = SparkEntry.queries("length_gini")(spark, TestSpark.sf)
       .collect()
