@@ -73,6 +73,32 @@ object FileRecordSource {
     wireRecords(s, sfDir).write.mode("overwrite").parquet(outDir)
 }
 
+/** JSONL-archive source: newline-delimited JSON wire records — the
+  * usual raw-archive layout for an S3 landing bucket (one JSON object
+  * per line, one file per delivery batch; the reference's producer
+  * already emits JSON, `python_post_producer/python_producer.py:104-113`).
+  * Unlike the connector bindings this adapter is FULLY runtime-proven:
+  * the json source is built into Spark, so SourcesSpec streams a staged
+  * JSONL archive end-to-end and matches the parquet file-replay
+  * adapter. Schema is declared, not inferred — streaming json refuses
+  * inference, and an archive replay should fail loudly on drift rather
+  * than silently widen types.
+  */
+final case class JsonlRecordSource(dir: String) extends RecordSource {
+  def stream(s: SparkSession): DataFrame =
+    s.readStream
+      .schema("partition_key STRING, data STRING, arrival_ts TIMESTAMP")
+      .json(dir)
+}
+
+object JsonlRecordSource {
+
+  /** Land the producer's wire records as a JSONL archive. */
+  def stage(s: SparkSession, sfDir: String, outDir: String): Unit =
+    FileRecordSource.wireRecords(s, sfDir)
+      .write.mode("overwrite").json(outDir)
+}
+
 /** Kafka binding: the built-in `kafka` data source
   * (spark-sql-kafka connector), records normalized from
   * key/value/timestamp. Binary key/value cast to the wire's string

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{FileRecordSource, KafkaRecordSource, KinesisRecordSource}
+import graft.sources.{FileRecordSource, JsonlRecordSource, KafkaRecordSource,
+  KinesisRecordSource}
 
 /** The source-adapter seam: any RecordSource yields the same decoded
   * event stream, so the fan-out pipeline is source-agnostic. The
@@ -31,6 +32,18 @@ class SourcesSpec extends AnyFunSuite {
     val got = decoded.collect().map(_.toString).sorted.toSeq
     val want = batch.collect().map(_.toString).sorted.toSeq
     assert(got == want)
+  }
+
+  test("jsonl archive source replays to the same decoded events") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    JsonlRecordSource.stage(spark, sf, dir)
+    // the archive really is newline-delimited JSON text
+    val firstLine = spark.read.text(dir).head.getString(0)
+    assert(firstLine.startsWith("{") && firstLine.contains("\"data\""))
+    val decoded = graft.streaming.StreamQueries.runToMemory(
+      JsonlRecordSource(dir).events(spark), "append")
+      .select("order_id", "status", "customer_id")
+    assert(decoded.collect().map(_.toString).sorted.toSeq == batchReference)
   }
 
   test("connector bindings normalize to the shared record shape") {
