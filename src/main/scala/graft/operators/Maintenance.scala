@@ -100,4 +100,30 @@ object Maintenance {
                 min(x) AS min_x, max(x) AS max_x,
                 min(y) AS min_y, max(y) AS max_y
          FROM zc GROUP BY 1 ORDER BY bucket"""))
+
+  /** Partition-retention sweep (the TTL policy every partitioned lake
+    * table runs: Firehose keeps landing `day=...` directories forever
+    * until something deletes the expired ones). PURE METADATA work — it
+    * lists the table's first-level partition directories and drops the
+    * ones whose partition VALUE is lexicographically below the cutoff
+    * (ISO dates order correctly as strings); no data file is ever
+    * opened, so cost scales with partition count, not table bytes —
+    * exactly how a catalog DROP PARTITION behaves at 100 TB. Returns
+    * the dropped partition values. Spec-verified (ScaleSpec): expired
+    * partitions vanish, survivors' bytes are untouched, and the table
+    * stays readable with the same schema.
+    */
+  def retentionSweep(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, partitionCol: String,
+      dropBelow: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tableDir), spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < dropBelow }
+      .sortBy(_._2)
+      .map { case (p, v) => fs.delete(p, true); v }
+  }
 }
