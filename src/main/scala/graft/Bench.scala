@@ -96,13 +96,44 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Drift sentinel: a fixed-size CPU-bound probe (range + modulo sum,
+    // no input data, no shuffle) timed before the loop, after every
+    // `sentinelEvery` catalog entries, and at the end. Catalog timings
+    // alone cannot distinguish "this query regressed" from "the host
+    // was busy during those minutes" (round 5's official bench had 4
+    // per-query 5-40x blowups on zero-shuffle queries for exactly that
+    // reason). The sentinel's cost is constant by construction, so
+    // spread in ITS readings is host noise by definition — a blown-up
+    // query whose neighboring sentinel readings are quiet is a real
+    // regression; one bracketed by elevated sentinels is load.
+    val sentinelEvery =
+      sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "8").toInt
+    val sentinels = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    def sentinelOnce(afterEntry: Int): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7) AS s")
+        .write.format("noop").mode("overwrite").save()
+      sentinels += (afterEntry -> (System.nanoTime() - t0) / 1e9)
+    }
+    var entryIdx = 0
+    def withSentinel(name: String, t: Double): (String, Double) = {
+      entryIdx += 1
+      if (entryIdx % sentinelEvery == 0) sentinelOnce(entryIdx)
+      name -> t
+    }
+    // warm the probe's own codegen untimed — otherwise reading #0
+    // carries JVM warmup and fakes a high spread on a quiet host
+    sentinelOnce(-1); sentinels.clear()
+    sentinelOnce(0)
     val buildResults = sharedAssetBuilds
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> runOnce(name, fn) }
+      .map { case (name, fn) => withSentinel(name, runOnce(name, fn)) }
     val results = buildResults ++ selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn))
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+      withSentinel(name, if (times.exists(_ < 0)) -1.0 else median(times))
     }
+    sentinelOnce(entryIdx)
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(rs: Seq[(String, Double)]) =
@@ -111,14 +142,29 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.filter(_._2 < 0)
     val total = ok.map(_._2).sum
+    // sentinel summary: spread = max/min. A quiet host sits near 1.0;
+    // round 5's contended window would have shown >5. The full list of
+    // (after-entry-index, seconds) readings goes to BENCH_FULL.json so
+    // a specific blown-up query can be checked against the sentinel
+    // readings that bracket its position in the run.
+    val sTimes = sentinels.map(_._2)
+    val sentinelSummary =
+      s"""{"every":$sentinelEvery,"n":${sTimes.size},""" +
+        s""""median":${fmt(median(sTimes.toSeq))},""" +
+        s""""min":${fmt(sTimes.min)},"max":${fmt(sTimes.max)},""" +
+        s""""spread":${fmt(sTimes.max / math.max(sTimes.min, 1e-9))}}"""
+    val sentinelFull = sentinels
+      .map { case (i, t) => s"[$i,${fmt(t)}]" }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"failures":${failed.size},""" +
+        s""""sentinel":$sentinelSummary,""" +
         s""""queries":${jsonMap(results.filter(r => headline.contains(r._1)))},""" +
         s""""sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failures":${failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")},""" +
+        s""""sentinel":$sentinelSummary,"sentinel_times":$sentinelFull,""" +
         s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))

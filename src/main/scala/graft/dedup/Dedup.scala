@@ -545,10 +545,15 @@ object Dedup {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b,
                 round(common * 1.0 / (na + nb - common), 4) AS jaccard
@@ -572,10 +577,15 @@ object Dedup {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na
-           FROM ex a JOIN ex b
+           FROM exf a JOIN exf b
              ON a.s = b.s AND a.doc_id <> b.doc_id AND b.n >= a.n * 0.8
            GROUP BY 1, 2)
          SELECT doc_a, doc_b, round(common * 1.0 / na, 4) AS containment
@@ -622,11 +632,17 @@ object Dedup {
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
                 FROM sh),
+         hot AS (
+           SELECT s FROM ex WHERE doc_id < 400 GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents WHERE doc_id < 400)
+                  * 0.001 AS BIGINT))),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM ex a JOIN ex b ON a.s = b.s
            WHERE a.doc_id < 400 AND b.doc_id >= 400
+             AND a.s NOT IN (SELECT s FROM hot)
            GROUP BY 1, 2),
          near AS (
            SELECT DISTINCT doc_b AS doc_id FROM pairs

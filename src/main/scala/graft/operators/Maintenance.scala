@@ -109,9 +109,14 @@ object Maintenance {
     * (ISO dates order correctly as strings); no data file is ever
     * opened, so cost scales with partition count, not table bytes —
     * exactly how a catalog DROP PARTITION behaves at 100 TB. Returns
-    * the dropped partition values. Spec-verified (ScaleSpec): expired
-    * partitions vanish, survivors' bytes are untouched, and the table
-    * stays readable with the same schema.
+    * the dropped partition values (only those fs.delete actually
+    * removed — a false return is a silent-failure partition that must
+    * NOT be reported as swept). Directory names are Hive-path-escaped
+    * (`%XX` for special chars), so the value is unescaped BEFORE the
+    * lexicographic compare: `day=2024%2D01%2D01` must sort as
+    * `2024-01-01`, not as the raw escaped string. Spec-verified
+    * (ScaleSpec): expired partitions vanish, survivors' bytes are
+    * untouched, and the table stays readable with the same schema.
     */
   def retentionSweep(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, partitionCol: String,
@@ -121,9 +126,33 @@ object Maintenance {
     val prefix = s"$partitionCol="
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .map(st => (st.getPath,
+        unescapePartitionValue(st.getPath.getName.stripPrefix(prefix))))
       .filter { case (_, v) => v < dropBelow }
       .sortBy(_._2)
-      .map { case (p, v) => fs.delete(p, true); v }
+      .collect { case (p, v) if fs.delete(p, true) => v }
+  }
+
+  /** Reverse of Hive's partition-path escaping: `%XX` hex pairs back
+    * to their characters (the encoding `saveAsTable`/insert writes for
+    * `/ : =` etc. in partition values). Malformed `%` sequences pass
+    * through untouched rather than throwing — a directory we cannot
+    * decode should simply never match the drop predicate.
+    */
+  private[graft] def unescapePartitionValue(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 }

@@ -303,12 +303,18 @@ object TimeOps {
             sum("_rows").as("n"),
             approx_count_distinct(col("user_id"), 0.01).as("_approx"))
           .select(col("event_type"), col("exact_users"), col("n"),
-            (abs(col("_approx") - col("exact_users")).cast("double")
-              / col("exact_users") <= 0.05).as("hll_within_5pct"))
+            // an all-NULL-user group has exact_users = 0; x/0 would
+            // make the gate boolean NULL while the oracle says true,
+            // so a zero-user group is vacuously within bound
+            when(col("exact_users") > 0,
+              abs(col("_approx") - col("exact_users")).cast("double")
+                / col("exact_users") <= 0.05)
+              .otherwise(lit(true)).as("hll_within_5pct"))
           .orderBy("event_type"),
       """SELECT event_type,
                 count(DISTINCT user_id) AS exact_users,
                 count(*) AS n,
-                true AS hll_within_5pct
+                CASE WHEN count(DISTINCT user_id) >= 0 THEN true END
+                  AS hll_within_5pct
          FROM events GROUP BY event_type ORDER BY event_type"""))
 }

@@ -102,6 +102,17 @@ object Ivf {
             (sum(coalesce(col("_hit"), lit(0))).cast("double")
               / count(lit(1)) >= 0.5).as("recall_ok"))
       },
+      // Oracle preconditions (constants below are DATA-dependent, not
+      // engine-derived — a divergence here is a corpus change, not an
+      // engine bug): `3 * count(*) AS n_results` assumes every query's
+      // nprobe=4 probed lists together hold ≥ 3 non-self vectors, and
+      // `recall_ok = true` assumes the seed-42 KMeans fit reaches
+      // recall ≥ 0.5 on this corpus. Both hold for the generated
+      // embeddings tables at every shipped SF (uniform label clusters
+      // → list occupancy ~n/16 ≫ 3; gate-proven at sf0.01 and sf0.1).
+      // On a new corpus, validate list occupancy first or drop the 3x
+      // assumption and assert counts in the spec instead (IvfSpec
+      // asserts the raw recall value independently of this gate).
       """SELECT count(*) AS n_queries,
                 3 * count(*) AS n_results,
                 true AS recall_ok

@@ -73,10 +73,15 @@ object VectorAnalytics {
     // BOTH sides before the distance fold, and the fold itself is
     // sequential over dims in both engines (Spark `aggregate`, DuckDB
     // `list_sum`), so distances are bit-identical and the argmin
-    // (ties → smaller label) cannot diverge.
+    // (ties → smaller label) cannot diverge: the centroid list is
+    // sorted label-ascending and the fold keeps the FIRST strict
+    // minimum, which is exactly the oracle's ORDER BY dist, c_label.
+    // Plan shape: ALL centroids ride in one broadcast single-row
+    // array, so the corpus scan stays narrow — no m-way fan-out, no
+    // per-vector shuffle, no window; the only exchange is the final
+    // label-count-bounded confusion-matrix aggregate.
     "centroid_assign" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), _.cast("double")).as("v"))
@@ -88,14 +93,22 @@ object VectorAnalytics {
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("c"))
-        val w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
-        emb.crossJoin(broadcast(cent))
-          .withColumn("dist",
-            aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("label"), col("c_label").as("pred_label"))
+        val centArr = cent.agg(
+          array_sort(collect_list(struct(col("c_label"), col("c")))).as("cents"))
+        emb.crossJoin(broadcast(centArr))
+          .withColumn("best",
+            aggregate(col("cents"),
+              struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bl")),
+              (acc, ct) => {
+                val dd = aggregate(
+                  zip_with(col("v"), ct.getField("c"),
+                    (a, b) => (a - b) * (a - b)),
+                  lit(0.0), (s2, x) => s2 + x)
+                when(dd < acc.getField("bd"),
+                  struct(dd.as("bd"), ct.getField("c_label").as("bl")))
+                  .otherwise(acc)
+              }))
+          .groupBy(col("label"), col("best").getField("bl").as("pred_label"))
           .agg(count(lit(1)).as("n"))
           .orderBy("label", "pred_label")
       },

@@ -62,10 +62,32 @@ object StreamQueries {
     */
   def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
-    try body finally s.conf.set(key, prev)
+    // Re-entrancy/concurrency guard: parallel suites share one session,
+    // so an unguarded read/clamp/restore can capture the CLAMPED value
+    // as "prev" and leave the session stuck at 8 forever. Ref-count per
+    // session: only the first entrant records prev, only the last
+    // restores it. (Batch queries planned inside the window still see
+    // the clamp — acceptable for the suite, and AQE re-coalesces.)
+    clampLock.synchronized {
+      val (depth, prev) = clampState.getOrElse(s, (0, s.conf.get(key)))
+      if (depth == 0) {
+        val clamped =
+          scala.util.Try(prev.toInt).toOption.fold(8)(v => math.min(v, 8))
+        s.conf.set(key, clamped.toString)
+      }
+      clampState(s) = (depth + 1, prev)
+    }
+    try body finally clampLock.synchronized {
+      clampState.get(s).foreach { case (depth, prev) =>
+        if (depth <= 1) { s.conf.set(key, prev); clampState.remove(s) }
+        else clampState(s) = (depth - 1, prev)
+      }
+    }
   }
+
+  private val clampLock = new Object
+  private val clampState =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
 
   /** Run an AvailableNow stream into a uniquely-named memory sink and
     * return the sink table after termination.

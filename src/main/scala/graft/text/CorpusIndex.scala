@@ -69,6 +69,22 @@ object CorpusIndex {
     */
   private val OracleMaxDocTokens = 3200
 
+  /** Chunk width (tokens) for the CORPUS-WIDE exact-chunk family —
+    * D32 `dedup_exact_para` and D40 `dedup_rewrite`: ~a sentence, the
+    * unit at which cross-document boilerplate repeats.
+    */
+  private[graft] val CorpusChunkTokens = 16
+
+  /** Chunk width for IN-DOCUMENT dedup — D56 `intradoc_dedup`.
+    * Deliberately smaller than [[CorpusChunkTokens]]: the synthetic
+    * corpus has no paragraph breaks and only short chunks actually
+    * repeat WITHIN one document, so a 16-token unit would make the
+    * operator a no-op there. The widths differing is intentional;
+    * both Spark sides and both oracle unnest grids derive from these
+    * two constants, so a width can only be edited in one place.
+    */
+  private[graft] val IntraDocChunkTokens = 2
+
   val defs: Map[String, QueryDef] = Map(
 
     // D31 — inverted-index build: term → (document frequency, term
@@ -115,16 +131,21 @@ object CorpusIndex {
     // the chunk, and the groupBy collapses to two longs per doc.
     "dedup_exact_para" -> QueryDef(
       (s, d) =>
-        chunkDedupStats(Tables.documents(s, d), 16).orderBy("doc_id"),
+        chunkDedupStats(Tables.documents(s, d), CorpusChunkTokens)
+          .orderBy("doc_id"),
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
          ch AS (
            -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
-                  array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
-           FROM toks, unnest(range(0, ${OracleMaxDocTokens / 16})) AS u(i)
-           WHERE i < len(t) // 16),
+                  array_to_string(t[i*$CorpusChunkTokens+1 :
+                                    i*$CorpusChunkTokens+$CorpusChunkTokens],
+                                  ' ') AS chunk
+           FROM toks,
+                unnest(range(0, ${OracleMaxDocTokens / CorpusChunkTokens}))
+                  AS u(i)
+           WHERE i < len(t) // $CorpusChunkTokens),
          ranked AS (
            SELECT doc_id, pos, chunk,
                   row_number() OVER (PARTITION BY chunk
@@ -149,8 +170,9 @@ object CorpusIndex {
         val docs = Tables.documents(s, d)
         val toks = docs
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .withColumn("nchunks", floor(size(col("t")) / 16).cast("int"))
-        val keptAgg = chunkKept(docs, 16)
+          .withColumn("nchunks",
+            floor(size(col("t")) / CorpusChunkTokens).cast("int"))
+        val keptAgg = chunkKept(docs, CorpusChunkTokens)
           .filter(col("kept") === 1)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
@@ -162,7 +184,8 @@ object CorpusIndex {
           .join(keptAgg, Seq("doc_id"), "left")
           .withColumn("tail",
             array_join(
-              expr("slice(t, nchunks*16+1, size(t) - nchunks*16)"), " "))
+              expr(s"slice(t, nchunks*$CorpusChunkTokens+1, " +
+                s"size(t) - nchunks*$CorpusChunkTokens)"), " "))
           .select(col("doc_id"),
             col("nchunks").cast("long").as("n_chunks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -173,12 +196,17 @@ object CorpusIndex {
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         meta AS (SELECT doc_id, t, len(t) // 16 AS nchunks FROM toks),
+         meta AS (SELECT doc_id, t,
+                         len(t) // $CorpusChunkTokens AS nchunks FROM toks),
          ch AS (
            -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
-                  array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
-           FROM meta, unnest(range(0, ${OracleMaxDocTokens / 16})) AS u(i)
+                  array_to_string(t[i*$CorpusChunkTokens+1 :
+                                    i*$CorpusChunkTokens+$CorpusChunkTokens],
+                                  ' ') AS chunk
+           FROM meta,
+                unnest(range(0, ${OracleMaxDocTokens / CorpusChunkTokens}))
+                  AS u(i)
            WHERE i < nchunks),
          ranked AS (
            SELECT doc_id, pos, chunk,
@@ -194,7 +222,9 @@ object CorpusIndex {
                 COALESCE(s.n_chunks, 0) AS n_chunks,
                 COALESCE(k.n_kept, 0) AS n_kept,
                 md5(concat_ws(' ', k.kept_str,
-                    nullif(array_to_string(m.t[m.nchunks*16+1 : len(m.t)], ' '),
+                    nullif(array_to_string(
+                             m.t[m.nchunks*$CorpusChunkTokens+1 : len(m.t)],
+                             ' '),
                            ''))) AS text_md5
          FROM meta m
          LEFT JOIN keptagg k USING (doc_id)
@@ -216,8 +246,9 @@ object CorpusIndex {
         val docs = Tables.documents(s, d)
         val toks = docs
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .withColumn("nchunks", floor(size(col("t")) / 2).cast("int"))
-        val kept = chunkRows(docs, 2)
+          .withColumn("nchunks",
+            floor(size(col("t")) / IntraDocChunkTokens).cast("int"))
+        val kept = chunkRows(docs, IntraDocChunkTokens)
           .groupBy("doc_id", "chunk")
           .agg(min("pos").as("pos"))
           .groupBy("doc_id")
@@ -230,7 +261,8 @@ object CorpusIndex {
           .join(kept, Seq("doc_id"), "left")
           .withColumn("tail",
             array_join(
-              expr("slice(t, nchunks*2+1, size(t) - nchunks*2)"), " "))
+              expr(s"slice(t, nchunks*$IntraDocChunkTokens+1, " +
+                s"size(t) - nchunks*$IntraDocChunkTokens)"), " "))
           .select(col("doc_id"),
             col("nchunks").cast("long").as("n_chunks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -241,12 +273,17 @@ object CorpusIndex {
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         meta AS (SELECT doc_id, t, len(t) // 2 AS nchunks FROM toks),
+         meta AS (SELECT doc_id, t,
+                         len(t) // $IntraDocChunkTokens AS nchunks FROM toks),
          ch AS (
            -- fixed unnest grid; bound derived from OracleMaxDocTokens
            SELECT doc_id, i AS pos,
-                  array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk
-           FROM meta, unnest(range(0, ${OracleMaxDocTokens / 2})) AS u(i)
+                  array_to_string(t[i*$IntraDocChunkTokens+1 :
+                                    i*$IntraDocChunkTokens+$IntraDocChunkTokens],
+                                  ' ') AS chunk
+           FROM meta,
+                unnest(range(0, ${OracleMaxDocTokens / IntraDocChunkTokens}))
+                  AS u(i)
            WHERE i < nchunks),
          firsts AS (
            SELECT doc_id, chunk, min(pos) AS pos
@@ -259,7 +296,9 @@ object CorpusIndex {
                 CAST(m.nchunks AS BIGINT) AS n_chunks,
                 COALESCE(k.n_kept, 0) AS n_kept,
                 md5(concat_ws(' ', k.kept_str,
-                    nullif(array_to_string(m.t[m.nchunks*2+1 : len(m.t)], ' '),
+                    nullif(array_to_string(
+                             m.t[m.nchunks*$IntraDocChunkTokens+1 : len(m.t)],
+                             ' '),
                            ''))) AS text_md5
          FROM meta m
          LEFT JOIN keptagg k USING (doc_id)

@@ -388,7 +388,15 @@ object TextAnalysis {
         val toks = docs.select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // df deliberately REFERENCES the tf column (tf >= 1 always, so
+        // count(tf>=1) = row count): with count(lit(1)) column pruning
+        // drops `tf` from this branch's inner aggregate, the two
+        // (doc_id, term) subtrees stop being canonically identical, and
+        // exchange reuse silently dies — the corpus-wide token explode +
+        // pair aggregate then runs TWICE. Verified in-plan: this form
+        // keeps exactly one (doc_id, term) shuffle, reused.
+        val dfreq = tf.groupBy("term")
+          .agg(count(when(col("tf") >= 1, 1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("term").asc)
