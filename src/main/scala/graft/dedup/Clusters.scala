@@ -428,29 +428,33 @@ object Clusters {
     // never re-paired with itself), plus the batch's internal pairs.
     // CC over that graph has the same components as a full recompute
     // PROVIDED base, batch, and full corpus agree on the candidate
-    // pair set — exact below ngramJaccardPairs' hot-shingle df cap
-    // (max(1000, 0.1%·docs)), where no shingle is dropped on any
-    // side. Above the cap the df threshold is computed per input
-    // (base-only / batch-only vs the oracle's full corpus), so the
-    // candidate decompositions can differ and incremental components
-    // can diverge from a from-scratch answer; a production run at
-    // that scale would compute the hot-shingle set ONCE over the full
-    // corpus and pass it to both the base pairing and the probe. The
-    // oracle runs the same recursive-CTE closure over ALL documents
-    // as dedup_clusters, so the gate checks the incremental path
-    // against the from-scratch answer in the exact regime.
+    // pair set — which they now do at EVERY scale: the hot-shingle
+    // set (df cap max(1000, 0.1%·docs)) is computed ONCE over the
+    // full corpus and passed to the base pairing, the probe, and the
+    // batch pairing via `hotSet`, so per-slice df thresholds can
+    // never disagree with the full-corpus threshold the from-scratch
+    // answer uses (ClustersSpec proves the hash match on a corpus
+    // where the cap actually drops a shingle). In production the
+    // indexed corpus' df stats are exactly this precomputed state.
+    // The oracle runs the same recursive-CTE closure over ALL
+    // documents as dedup_clusters, so the gate checks the incremental
+    // path against the from-scratch answer.
     // Restricted to edge-incident vertices to match.
     "cc_incremental" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val base = docs.filter(col("doc_id") < 400)
         val batch = docs.filter(col("doc_id") >= 400)
+        // materialized once: three consumers, and the set is tiny by
+        // construction (only above-cap shingles survive)
+        val hotAll = Some(Dedup.hotShingles(docs).localCheckpoint(true))
         val baseLabels = connectedComponents(
-          Dedup.ngramJaccardPairs(base, 0.5)
+          Dedup.ngramJaccardPairs(base, 0.5, hotSet = hotAll)
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5)
+        val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5,
+            hotSet = hotAll)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5)
+        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5, hotSet = hotAll)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labelEdges = baseLabels
           .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))

@@ -50,17 +50,33 @@ object Dedup {
     * set, consumed as a left-anti join that AQE plans as a broadcast.
     * Both aggregations shuffle on `s`, so the exchange is reused.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L): DataFrame = {
-    val exAll = withShingles(docs)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("s"))
+  /** The hot-shingle set of a corpus (df > max(minDfCap, hotDfFrac·n))
+    * as its own DataFrame, so callers composing SEVERAL pair passes
+    * over slices of one corpus (incremental dedup: base pairing +
+    * probe + batch pairing) can compute the set ONCE over the full
+    * corpus and pass it to every pass via `hotSet` — per-slice df
+    * thresholds would otherwise disagree with a full recompute above
+    * the cap (the round-5 cc_incremental caveat, now closed).
+    */
+  def hotShingles(docs: DataFrame, hotDfFrac: Double = 0.001,
+      minDfCap: Long = 1000L): DataFrame = {
+    val ex = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val hot = exAll.groupBy("s").agg(count(lit(1)).as("df"))
+    ex.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > greatest(lit(minDfCap),
         (col("n_docs") * lit(hotDfFrac)).cast("long")))
       .select("s")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L,
+      hotSet: Option[DataFrame] = None): DataFrame = {
+    val exAll = withShingles(docs)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+    val hot = hotSet.getOrElse(hotShingles(docs, hotDfFrac, minDfCap))
     val ex = exAll.join(hot, Seq("s"), "left_anti")
     val a = ex.as("a")
     val b = ex.as("b")
@@ -115,16 +131,12 @@ object Dedup {
     * both directions.
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
-      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L): DataFrame = {
+      hotDfFrac: Double = 0.001, minDfCap: Long = 1000L,
+      hotSet: Option[DataFrame] = None): DataFrame = {
     val exAll = withShingles(docs)
       .select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("s"))
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val hot = exAll.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") > greatest(lit(minDfCap),
-        (col("n_docs") * lit(hotDfFrac)).cast("long")))
-      .select("s")
+    val hot = hotSet.getOrElse(hotShingles(docs, hotDfFrac, minDfCap))
     val ex = exAll.join(hot, Seq("s"), "left_anti")
     ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") &&
@@ -149,16 +161,11 @@ object Dedup {
     */
   def ngramJaccardProbe(base: DataFrame, incoming: DataFrame,
       threshold: Double, hotDfFrac: Double = 0.001,
-      minDfCap: Long = 1000L): DataFrame = {
+      minDfCap: Long = 1000L, hotSet: Option[DataFrame] = None): DataFrame = {
     val exBase = withShingles(base)
       .select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("s"))
-    val nBase = base.select(count(lit(1)).as("n_docs"))
-    val hot = exBase.groupBy("s").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nBase))
-      .filter(col("df") > greatest(lit(minDfCap),
-        (col("n_docs") * lit(hotDfFrac)).cast("long")))
-      .select("s")
+    val hot = hotSet.getOrElse(hotShingles(base, hotDfFrac, minDfCap))
     val idx = exBase.join(hot, Seq("s"), "left_anti")
     val probe = withShingles(incoming)
       .select(col("doc_id"), size(col("shingles")).as("n"),

@@ -121,6 +121,63 @@ class GraphOpsSpec extends AnyFunSuite {
       s"batch-internal pair should form its own cluster: $merged")
   }
 
+  test("shared hot-shingle set makes incremental CC equal the full recompute above the df cap") {
+    import spark.implicits._
+    // The regime the round-5 caveat was about: a boilerplate header in
+    // 5 base + 5 batch docs. Full-corpus df = 10 > cap 8, but each
+    // slice alone sees df = 5 <= 8 — so per-slice hot sets KEEP the
+    // boilerplate (pairing every header doc), while the full recompute
+    // drops it. The shared full-corpus hot set must close that gap.
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val tail = (1 to 60).map(i => s"t$i").mkString(" ")
+    val baseDocs = (1 to 5).map(i => (i.toLong, s"$boiler u${i}a u${i}b")) ++
+      Seq((11L, tail))
+    val batchDocs = (1 to 5).map(i => (500L + i, s"$boiler v${i}a v${i}b")) ++
+      Seq((510L, s"$tail extra1 extra2"),
+        (511L, "own cluster alpha beta gamma delta epsilon zeta"),
+        (512L, "own cluster alpha beta gamma delta epsilon eta"))
+    val docs = (baseDocs ++ batchDocs).toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val (frac, cap) = (0.01, 8L)
+    // the cap actually engages on the full corpus...
+    assert(Dedup.hotShingles(docs, frac, cap).count() > 0, "cap never engaged")
+    // ...and a per-slice hot set really would diverge (boilerplate
+    // pairs inside the base that the full recompute does not emit)
+    val fullPairs = Dedup.ngramJaccardPairs(docs, 0.5, frac, cap)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sliceOnly = Dedup.ngramJaccardPairs(base, 0.5, frac, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sliceOnly -- fullPairs).nonEmpty,
+      "per-slice threshold did not diverge; corpus does not exercise the fix")
+    // incremental path with ONE full-corpus hot set, exactly as the
+    // cc_incremental catalog entry composes it
+    val hotAll = Some(Dedup.hotShingles(docs, frac, cap).localCheckpoint(true))
+    val baseLabels = graft.dedup.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(base, 0.5, frac, cap, hotSet = hotAll)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val updateEdges = baseLabels
+      .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
+      .unionByName(Dedup.ngramJaccardProbe(base, batch, 0.5, frac, cap,
+        hotSet = hotAll)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .unionByName(Dedup.ngramJaccardPairs(batch, 0.5, frac, cap,
+        hotSet = hotAll)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val incremental = graft.dedup.Clusters.connectedComponents(updateEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = graft.dedup.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, 0.5, frac, cap)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vertex the full recompute clusters must land in the SAME
+    // component incrementally (incremental may add singleton base
+    // labels; those are filtered by the catalog entry's incidence join)
+    assert(scratch.forall { case (id, rep) => incremental.get(id).contains(rep) },
+      s"diverged: scratch=$scratch incremental=$incremental")
+  }
+
   test("weighted sample over-represents long documents") {
     val docs = Tables.documents(spark, sf)
     val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
