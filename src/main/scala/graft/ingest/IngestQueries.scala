@@ -218,6 +218,49 @@ object IngestQueries {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
          GROUP BY 1, 2 ORDER BY year, month"""),
 
+    // A26 — Glue-analog CATALOG registration: the reference registers
+    // the Firehose sink in Glue so Athena queries it BY TABLE NAME
+    // (terraform/main.tf glue_catalog resources;
+    // athena_sql_query_examples/*.sql read `orders_data_table`) — the
+    // one reference workflow step that previously had no twin here.
+    // Spark twin: land the SAME A8 partitioned sink, register an
+    // EXTERNAL partitioned table over the directory, run
+    // `MSCK REPAIR TABLE` (the crawler / partition-discovery analog —
+    // it lists `year=/month=` directories into catalog partitions,
+    // metadata-only), and aggregate BY NAME through the SQL surface.
+    // Partition columns are declared STRING so the catalog serves the
+    // sink's zero-padded directory values verbatim (no read-side
+    // type-inference re-pad) — exactly what Glue's string partition
+    // keys give Athena. The oracle is the path twin's flat SQL, so a
+    // partition the discovery step misses breaks the hash.
+    "catalog_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = Tables.scratchDir(s, d, "glue") + "/orders"
+        val fanned = Fanout.withPartitionKeys(
+          Fanout.orders(SyntheticOrders.nested(s, d)),
+          col("order_date"))
+          .select("order_id", "customer_id", "order_date", "status",
+            "year", "month")
+        PartitionedSink.write(fanned, out,
+          partitionCols = Seq("year", "month"),
+          clusterCols = Seq("customer_id"))
+        val tbl = "graft_orders_by_name"
+        val dataDdl = fanned.drop("year", "month").schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"CREATE TABLE $tbl ($dataDdl, year STRING, month STRING) " +
+          s"USING PARQUET PARTITIONED BY (year, month) LOCATION '$out'")
+        s.sql(s"MSCK REPAIR TABLE $tbl")
+        s.sql(s"SELECT year, month, count(*) AS n_orders FROM $tbl " +
+          "GROUP BY year, month ORDER BY year, month")
+      },
+      """SELECT strftime(o_orderdate, '%Y') AS year,
+                strftime(o_orderdate, '%m') AS month,
+                count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY 1, 2 ORDER BY year, month"""),
+
     // A14 gate twin — dead-letter routing under PLANTED corruption: a
     // deterministic 1-in-16 subset of wire records (chosen by md5 of
     // the order id, so the oracle can name the same subset without

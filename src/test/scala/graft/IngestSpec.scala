@@ -115,4 +115,40 @@ class IngestSpec extends AnyFunSuite {
     // partition columns survive as readable columns
     assert(back.columns.contains("year") && back.columns.contains("month"))
   }
+
+  test("catalog table serves partition-pruned reads by name") {
+    // the reason a Glue-style catalog matters at 100 TB: a predicate on
+    // the partition keys must prune at the METADATA level — the scan
+    // plans only the matching year=/month= directories, never listing
+    // the rest of the table
+    SparkEntry.queries("catalog_roundtrip")(spark, sf).collect()
+    val parts = spark.sql("SHOW PARTITIONS graft_orders_by_name")
+      .collect().map(_.getString(0))
+    assert(parts.length > 1, s"need >1 partition, got ${parts.toSeq}")
+    // pick a real partition dynamically (date span depends on SF)
+    val kv = parts.head.split("/").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val q = spark.sql("SELECT count(*) AS n FROM graft_orders_by_name " +
+      s"WHERE year = '${kv("year")}' AND month = '${kv("month")}'")
+    val n = q.collect().head.getLong(0)
+    assert(n > 0)
+    // sparkPlan, not executedPlan: AQE wraps stages and hides the scan
+    // from a plain collect
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // the partition predicate must reach the scan as a partition filter
+    // (metadata pruning), NOT as a data filter over all files
+    assert(scan.partitionFilters.map(_.toString).mkString(",").contains("year"),
+      s"no partition filter in scan: ${scan.partitionFilters}")
+    // the catalog scan's file index is already pruned by the optimizer
+    // (PruneFileSourcePartitions), so compare against the TABLE's real
+    // file population on disk
+    val root = new java.io.File(
+      graft.Tables.scratchDir(spark, sf, "glue") + "/orders")
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    assert(walk(root) > scan.selectedPartitions.totalNumberOfFiles,
+      "scan did not prune: every file of the table was selected")
+  }
 }

@@ -106,4 +106,26 @@ class SourcesSpec extends AnyFunSuite {
       .select("order_id", "status", "customer_id")
     assert(decoded.collect().map(_.toString).sorted.toSeq == batchReference)
   }
+
+  test("kafka transport line end-to-end against a live broker") {
+    // The `.format("kafka").load()` line itself needs the
+    // spark-sql-kafka connector jar plus an embedded/live broker;
+    // NEITHER is present in this environment (no network egress, no
+    // kafka artifacts in /opt/spark/jars or the offline coursier
+    // cache — verified by classpath probe below). Everything this
+    // binding owns short of the transport line IS runtime-proven
+    // above: normalize() is exercised against the connector's exact
+    // documented output schema (key/value/topic/partition/offset/
+    // timestamp), then decode → fan-out runs as a real stream. If
+    // connector jars become available, replace this cancellation with
+    // an embedded-broker round trip feeding the same assertions.
+    val kafkaOnClasspath =
+      try { Class.forName("org.apache.kafka.clients.producer.KafkaProducer"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(kafkaOnClasspath,
+      "env-blocked: kafka-clients + spark-sql-kafka jars unavailable " +
+        "offline; transport line is compile-checked, normalize onward " +
+        "is runtime-proven in the tests above")
+    succeed
+  }
 }
