@@ -48,12 +48,15 @@ object StreamQueries {
     }
   }
 
-  /** Clamp `spark.sql.shuffle.partitions` to ≤8 for the duration of a
+  /** Clamp `spark.sql.shuffle.partitions` to ≤4 for the duration of a
     * streaming run, restoring the caller's value afterwards. A stateful
     * micro-batch pays a PER-PARTITION fixed cost (one state store
     * instance + checkpoint commit each) every trigger, so at the gate's
     * data volume 32 shuffle partitions are 32 state-store commits for a
-    * handful of rows each — pure overhead. Stream results are
+    * handful of rows each — pure overhead. Measured at sf0.1: clamp 8 →
+    * 11.9 s for the 9-entry stream family, clamp 4 → 11.0 s, clamp 2 →
+    * 11.4 s (parallelism loss overtakes the per-partition savings), so
+    * 4 is the floor's knee. Stream results are
     * partition-count-independent (hash partitioning only moves rows),
     * so this is a latency knob, not a semantics knob; a production
     * deployment sizes it to state volume instead. The conf is read at
@@ -72,7 +75,7 @@ object StreamQueries {
       val (depth, prev) = clampState.getOrElse(s, (0, s.conf.get(key)))
       if (depth == 0) {
         val clamped =
-          scala.util.Try(prev.toInt).toOption.fold(8)(v => math.min(v, 8))
+          scala.util.Try(prev.toInt).toOption.fold(4)(v => math.min(v, 4))
         s.conf.set(key, clamped.toString)
       }
       clampState(s) = (depth + 1, prev)
