@@ -445,16 +445,28 @@ object Clusters {
         val docs = Tables.documents(s, d)
         val base = docs.filter(col("doc_id") < 400)
         val batch = docs.filter(col("doc_id") >= 400)
+        // The postings table is the precomputed index state: tokenize
+        // the corpus ONCE, materialize, and slice by doc_id — the base
+        // pairing, the probe, the batch pairing, and the hot set all
+        // read it instead of re-shingling the corpus per pass (4
+        // tokenize+explode passes collapse to 1).
+        val post = Dedup.postings(docs).localCheckpoint(true)
+        val basePost = Some(post.filter(col("doc_id") < 400))
+        val batchPost = Some(post.filter(col("doc_id") >= 400))
         // materialized once: three consumers, and the set is tiny by
         // construction (only above-cap shingles survive)
-        val hotAll = Some(Dedup.hotShingles(docs).localCheckpoint(true))
+        val hotAll = Some(Dedup.hotShingles(docs,
+          postingsSet = Some(post)).localCheckpoint(true))
         val baseLabels = connectedComponents(
-          Dedup.ngramJaccardPairs(base, 0.5, hotSet = hotAll)
+          Dedup.ngramJaccardPairs(base, 0.5, hotSet = hotAll,
+              postingsSet = basePost)
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
         val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5,
-            hotSet = hotAll)
+            hotSet = hotAll, basePostings = basePost,
+            incomingPostings = batchPost)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5, hotSet = hotAll)
+        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5,
+            hotSet = hotAll, postingsSet = batchPost)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labelEdges = baseLabels
           .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))

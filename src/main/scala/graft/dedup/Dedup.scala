@@ -50,6 +50,20 @@ object Dedup {
     * set, consumed as a left-anti join that AQE plans as a broadcast.
     * Both aggregations shuffle on `s`, so the exchange is reused.
     */
+  /** Exploded shingle postings (doc_id, n, s) for a corpus — the
+    * inverted-index input every pair pass consumes (n = the doc's
+    * distinct-shingle count, taken BEFORE any df cap). Callers that
+    * compose SEVERAL passes over one corpus (cc_incremental: base
+    * pairing + probe + batch pairing + hot set) materialize this once
+    * and slice it by doc_id instead of re-tokenizing the corpus per
+    * pass — at scale the postings table IS the precomputed index
+    * state a production pipeline stores.
+    */
+  def postings(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("s"))
+
   /** The hot-shingle set of a corpus (df > max(minDfCap, hotDfFrac·n))
     * as its own DataFrame, so callers composing SEVERAL pair passes
     * over slices of one corpus (incremental dedup: base pairing +
@@ -59,9 +73,9 @@ object Dedup {
     * the cap (the round-5 cc_incremental caveat, now closed).
     */
   def hotShingles(docs: DataFrame, hotDfFrac: Double = 0.001,
-      minDfCap: Long = 1000L): DataFrame = {
-    val ex = withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      minDfCap: Long = 1000L,
+      postingsSet: Option[DataFrame] = None): DataFrame = {
+    val ex = postingsSet.getOrElse(postings(docs))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     ex.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -72,10 +86,9 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       hotDfFrac: Double = 0.001, minDfCap: Long = 1000L,
-      hotSet: Option[DataFrame] = None): DataFrame = {
-    val exAll = withShingles(docs)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("s"))
+      hotSet: Option[DataFrame] = None,
+      postingsSet: Option[DataFrame] = None): DataFrame = {
+    val exAll = postingsSet.getOrElse(postings(docs))
     val hot = hotSet.getOrElse(hotShingles(docs, hotDfFrac, minDfCap))
     val ex = exAll.join(hot, Seq("s"), "left_anti")
     val a = ex.as("a")
@@ -132,10 +145,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
       hotDfFrac: Double = 0.001, minDfCap: Long = 1000L,
-      hotSet: Option[DataFrame] = None): DataFrame = {
-    val exAll = withShingles(docs)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("s"))
+      hotSet: Option[DataFrame] = None,
+      postingsSet: Option[DataFrame] = None): DataFrame = {
+    val exAll = postingsSet.getOrElse(postings(docs))
     val hot = hotSet.getOrElse(hotShingles(docs, hotDfFrac, minDfCap))
     val ex = exAll.join(hot, Seq("s"), "left_anti")
     ex.as("a")
@@ -161,15 +173,13 @@ object Dedup {
     */
   def ngramJaccardProbe(base: DataFrame, incoming: DataFrame,
       threshold: Double, hotDfFrac: Double = 0.001,
-      minDfCap: Long = 1000L, hotSet: Option[DataFrame] = None): DataFrame = {
-    val exBase = withShingles(base)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("s"))
+      minDfCap: Long = 1000L, hotSet: Option[DataFrame] = None,
+      basePostings: Option[DataFrame] = None,
+      incomingPostings: Option[DataFrame] = None): DataFrame = {
+    val exBase = basePostings.getOrElse(postings(base))
     val hot = hotSet.getOrElse(hotShingles(base, hotDfFrac, minDfCap))
     val idx = exBase.join(hot, Seq("s"), "left_anti")
-    val probe = withShingles(incoming)
-      .select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("s"))
+    val probe = incomingPostings.getOrElse(postings(incoming))
     idx.as("a")
       .join(probe.as("b"), col("a.s") === col("b.s") &&
         col("a.n") * lit(threshold) <= col("b.n") &&
