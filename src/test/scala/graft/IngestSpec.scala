@@ -151,4 +151,28 @@ class IngestSpec extends AnyFunSuite {
     assert(walk(root) > scan.selectedPartitions.totalNumberOfFiles,
       "scan did not prune: every file of the table was selected")
   }
+
+  test("the five reference analytics queries run by table name through the catalog") {
+    // the full Athena-surface story: base tables registered in the
+    // catalog, the reference's five analytics queries (B1-B5) executed
+    // BY NAME through plain SQL — results must equal the path-based
+    // DataFrame twins row for row. (The oracle SQL doubles as the
+    // by-name query text: it is engine-portable ANSI.)
+    val tables = Seq("orders", "lineitem", "part", "customer", "nation",
+      "events")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t USING PARQUET LOCATION '$sf/$t.parquet'")
+    }
+    try {
+      for (key <- Seq("ref_avg_order_value", "ref_top_products",
+        "ref_order_customer", "ref_income_by_type", "ref_sales_by_country")) {
+        val byName = spark.sql(SparkEntry.oracleSql(key))
+          .collect().map(_.toString).sorted.toSeq
+        val byPath = SparkEntry.queries(key)(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+        assert(byName == byPath, s"$key: by-name result diverges from by-path")
+      }
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
