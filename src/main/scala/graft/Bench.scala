@@ -25,7 +25,8 @@ object Bench {
     "range_join", "sessionize", "fanout_products", "ingest_decode",
     "dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_clusters",
     "knn_brute", "knn_custom", "knn_ivf", "curate_keep", "quality_score",
-    "token_count", "shared_pairs_build", "shared_labels_build")
+    "token_count", "shared_postings_build", "shared_pairs_build",
+    "shared_labels_build")
 
   /** Shared corpus assets (near-dup pair graph, cluster labels) are
     * memoized per (session, corpus) — the production shape: computed
@@ -43,6 +44,8 @@ object Bench {
         graft.ingest.SyntheticOrders.nested(s, d)),
       "wire_events_build" -> ((s, d) =>
         graft.ingest.SyntheticOrders.wire(s, d)),
+      "shared_postings_build" -> ((s, d) =>
+        graft.dedup.Dedup.sharedPostings(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
       "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)))
 
