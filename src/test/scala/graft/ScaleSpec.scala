@@ -140,6 +140,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(after == keepBytes)
   }
 
+  test("retention sweep compares Hive-unescaped partition values") {
+    import spark.implicits._
+    // "1:0" lands on disk as day=1%3A0. Unescaped, ':' (0x3A) sorts
+    // ABOVE '0'..'9', so against cutoff "10" the partition must be
+    // KEPT — a raw directory-name compare would see '%' (0x25) below
+    // '0' and wrongly drop it. "00" sorts below "10" either way.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-esc").toString
+    Seq(("a", "1:0"), ("b", "00"))
+      .toDF("payload", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    assert(new java.io.File(dir).list().exists(_.contains("%3A")),
+      "writer did not escape the colon; test premise broken")
+    val dropped = operators.Maintenance.retentionSweep(spark, dir, "day", "10")
+    assert(dropped == Seq("00"), s"dropped $dropped")
+    assert(new java.io.File(dir).list().exists(_.contains("%3A")),
+      "the escaped partition above the cutoff must survive")
+    // unescape handles multi-byte sequences and passes malformed ones
+    // through untouched
+    assert(operators.Maintenance.unescapePartitionValue("2024%2D01%3A05")
+      == "2024-01:05")
+    assert(operators.Maintenance.unescapePartitionValue("a%G1%2") == "a%G1%2")
+  }
+
   test("foreachBatch sink maintains an upserted KV snapshot per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
