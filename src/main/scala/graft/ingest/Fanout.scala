@@ -183,7 +183,17 @@ object SyntheticOrders {
     // lambdas evaluate interpreted per comparison): build the struct with
     // line_number as the FIRST field so sort_array's natural struct
     // ordering sorts by it, then reshape to the wire field order.
-    val products = li.select(
+    // Explicit (numPartitions, key) repartition BEFORE the aggregation:
+    // it replaces the aggregation's own exchange (same shuffle count)
+    // and pins the agg's width so the per-order sort_array/transform
+    // CPU runs wide instead of on whatever byte-based coalescing
+    // leaves. NOTE it does NOT protect the downstream join output —
+    // AQE re-plans that join and coalesces its output regardless
+    // (measured: 1 partition), so the post-join re-widen below is
+    // still load-bearing.
+    val products = li
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      .select(
       col("l_orderkey"),
       struct(
         col("l_linenumber").as("line_number"),
