@@ -56,6 +56,42 @@ object CorpusIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
 
+  /** Boilerplate-strip core (D83): a chunk occurring MORE THAN ONCE
+    * corpus-wide is boilerplate and every copy is dropped; each doc is
+    * rebuilt from its surviving chunks plus the un-chunked tail
+    * tokens. Per-doc output: (n_chunks, n_kept, text_md5 of the
+    * rebuilt text). Factored out so specs can plant synthetic
+    * repeated templates.
+    */
+  def boilerplateStrip(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("nchunks",
+        floor(size(col("t")) / chunkLen).cast("int"))
+    val ch = chunkRows(docs, chunkLen)
+    val cnts = ch.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    val keptAgg = ch.join(cnts, "chunk")
+      .filter(col("cnt") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("kept_str"))
+    toks
+      .join(keptAgg, Seq("doc_id"), "left")
+      .withColumn("tail",
+        array_join(
+          expr(s"slice(t, nchunks*$chunkLen+1, " +
+            s"size(t) - nchunks*$chunkLen)"), " "))
+      .select(col("doc_id"),
+        col("nchunks").cast("long").as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(concat_ws(" ", col("kept_str"),
+          expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
+  }
+
   /** Oracle-side chunk-grid budget, in TOKENS per document. The DuckDB
     * twins cannot lazily explode a per-row-variable range, so each
     * chunk oracle unnests a fixed `range(0, N)` grid and filters to
@@ -298,6 +334,55 @@ object CorpusIndex {
                 md5(concat_ws(' ', k.kept_str,
                     nullif(array_to_string(
                              m.t[m.nchunks*$IntraDocChunkTokens+1 : len(m.t)],
+                             ' '),
+                           ''))) AS text_md5
+         FROM meta m
+         LEFT JOIN keptagg k USING (doc_id)
+         ORDER BY m.doc_id"""),
+
+    // D83 — boilerplate-chunk removal (the C4/CCNet-style strip):
+    // drop EVERY occurrence of any 16-token chunk that appears more
+    // than once corpus-wide — headers, footers, license blocks,
+    // navigation text. The aggressive complement of D40's keep-first
+    // rewrite: a template shared by 10k pages conveys no training
+    // signal from ANY of its copies, so none survives. Plan shape is
+    // D40's: one chunk-key shuffle for the occurrence counts, the
+    // chunk rows join back on the SAME key (exchange reused, the
+    // count side partial-aggregates map-side — a 1%-of-corpus
+    // boilerplate chunk collapses to one (chunk, cnt) row before
+    // anything shuffles), then one doc_id shuffle reassembles the
+    // surviving text. md5 proves the rewrite byte-identical vs the
+    // oracle's independent reconstruction.
+    "boilerplate_chunks" -> QueryDef(
+      (s, d) => boilerplateStrip(Tables.documents(s, d), CorpusChunkTokens)
+        .orderBy("doc_id"),
+      raw"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         meta AS (SELECT doc_id, t,
+                         len(t) // $CorpusChunkTokens AS nchunks FROM toks),
+         ch AS (
+           -- fixed unnest grid; bound derived from OracleMaxDocTokens
+           SELECT doc_id, i AS pos,
+                  array_to_string(t[i*$CorpusChunkTokens+1 :
+                                    i*$CorpusChunkTokens+$CorpusChunkTokens],
+                                  ' ') AS chunk
+           FROM meta,
+                unnest(range(0, ${OracleMaxDocTokens / CorpusChunkTokens}))
+                  AS u(i)
+           WHERE i < nchunks),
+         cnts AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY chunk),
+         keptagg AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  array_to_string(list(chunk ORDER BY pos), ' ') AS kept_str
+           FROM ch JOIN cnts USING (chunk) WHERE cnt = 1
+           GROUP BY doc_id)
+         SELECT m.doc_id,
+                CAST(m.nchunks AS BIGINT) AS n_chunks,
+                COALESCE(k.n_kept, 0) AS n_kept,
+                md5(concat_ws(' ', k.kept_str,
+                    nullif(array_to_string(
+                             m.t[m.nchunks*$CorpusChunkTokens+1 : len(m.t)],
                              ' '),
                            ''))) AS text_md5
          FROM meta m

@@ -10,6 +10,33 @@ import graft.{QueryDef, Tables}
   */
 object CorpusStats {
 
+  /** Per-source unigram KL divergence core (D84) — factored out so
+    * specs can plant a lexically alien source and check it ranks top.
+    */
+  def sourceKl(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sc = docs
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    val tot = sc.groupBy("term").agg(sum("c").as("ct"))
+    val n = tot.agg(sum("ct").as("n_corpus"))
+    sc.join(tot, "term")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("_clnc"),
+        sum(col("c").cast("double") * log(col("ct").cast("double")))
+          .as("_clncorp"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round((col("_clnc") - col("_clncorp")) / col("n_tokens")
+          - log(col("n_tokens").cast("double"))
+          + log(col("n_corpus").cast("double")), 4).as("kl"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D38 — exact heavy hitters over the corpus token stream, sketch
@@ -329,5 +356,40 @@ object CorpusStats {
                 CASE WHEN sumx > 0 THEN
                   round((2.0 * sumix - (CAST(n AS DOUBLE) + 1.0) * sumx)
                         / (CAST(n AS DOUBLE) * sumx), 4) END AS gini
-         FROM a ORDER BY source"""))
+         FROM a ORDER BY source"""),
+
+    // D84 — per-source unigram KL divergence vs the whole-corpus token
+    // distribution: KL(p_src ‖ p_corpus) = Σ_t p·ln(p/q). The
+    // mix-design readout that says WHICH sources are lexical outliers
+    // (a source of code or tables diverges hard from a prose corpus),
+    // complementing term_concentration (within-source HHI) and
+    // ks_drift (numeric columns). Regrouped to one log per DISTINCT
+    // (source, term) on exact integer counts:
+    //   KL = (Σ c·ln c − Σ c·ln C_t)/N_s − ln N_s + ln N
+    // (c = source term count, C_t = corpus term count). Plan: ONE
+    // (source, term) shuffle; the corpus totals re-group that SAME
+    // aggregate on term and join back term-keyed (open vocabulary —
+    // never broadcast); the per-source collapse is dimension-bounded.
+    // The grand total N re-sums the term totals — a scalar broadcast.
+    // Float discipline: ln on exact ints + double sums rounded to
+    // 4 dp, the same gate-proven pattern as token_entropy/lm_score.
+    "source_kl" -> QueryDef(
+      (s, d) => sourceKl(Tables.documents(s, d)).orderBy("source"),
+      """WITH ex AS (
+           SELECT source,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         sc AS (SELECT source, term, count(*) AS c FROM ex GROUP BY 1, 2),
+         tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct
+                 FROM sc GROUP BY 1),
+         n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM tot),
+         agg AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types,
+                  sum(c * ln(c)) AS clnc, sum(c * ln(ct)) AS clncorp
+           FROM sc JOIN tot USING (term) GROUP BY source)
+         SELECT source, n_tokens, n_types,
+                round((clnc - clncorp) / n_tokens
+                      - ln(n_tokens) + ln(n.n_corpus), 4) AS kl
+         FROM agg, n ORDER BY source"""))
 }

@@ -27,6 +27,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
   }
 
+  test("boilerplate strip drops EVERY copy of a repeated chunk, keeps unique ones") {
+    import spark.implicits._
+    val tmpl = (1 to 16).map(i => s"t$i").mkString(" ") // shared template
+    val a16 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val b16 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$tmpl $a16 xtail"), // template + unique + tail
+      (2L, s"$tmpl $b16"),       // template + unique
+      (3L, b16.replace("b", "c")) // fully unique
+    ).toDF("doc_id", "text")
+    val got = CorpusIndex.boilerplateStrip(docs, 16)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the template chunk appears twice corpus-wide, so BOTH copies go
+    // (unlike chunkDedupStats, which keeps doc 1's); unique chunks stay
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // doc 1 rebuilds as its unique chunk + the tail token
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._4 == md5hex(s"$a16 xtail"))
+    assert(got(1)._4 == md5hex(b16))
+  }
+
   test("a doc copied from the benchmark scores contamination 1.0, disjoint scores 0") {
     import spark.implicits._
     val benchText = (1 to 12).map(i => s"b$i").mkString(" ")

@@ -159,6 +159,34 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("source KL divergence is non-negative and covers every source") {
+    val rows = SparkEntry.queries("source_kl")(spark, TestSpark.sf)
+      .collect()
+    val nSources = Tables.documents(spark, TestSpark.sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      // Gibbs: KL(p‖q) ≥ 0, and it is 0 only if the source IS the
+      // corpus distribution; allow the 4 dp rounding at the boundary
+      assert(r.getDouble(3) >= -0.0001,
+        s"source ${r.getString(0)}: ${r.getDouble(3)}")
+    }
+  }
+
+  test("a lexically alien source dominates the KL ranking") {
+    import spark.implicits._
+    // 9 prose-alike docs + 1 doc of tokens no other doc uses: the
+    // alien source's divergence must exceed every prose source's
+    val docs = (0 until 9).map { i =>
+      (i.toLong, s"the quick brown fox jumps over dog $i", s"src${i % 3}")
+    } :+ (9L, "zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7", "alien")
+    val df = docs.toDF("doc_id", "text", "source")
+    val kl = graft.text.CorpusStats.sourceKl(df)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    val alien = kl("alien")
+    assert(kl.filterNot(_._1 == "alien").values.forall(_ < alien))
+  }
+
   test("term concentration: hhi bounds and effective terms reciprocal") {
     val rows = SparkEntry.queries("term_concentration")(spark, TestSpark.sf)
       .collect()
