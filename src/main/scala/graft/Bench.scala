@@ -47,7 +47,8 @@ object Bench {
       "shared_postings_build" -> ((s, d) =>
         graft.dedup.Dedup.sharedPostings(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
-      "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)))
+      "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)),
+      "shared_chunks_build" -> ((s, d) => graft.text.CorpusIndex.sharedChunks(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,6 +24,27 @@ object CorpusIndex {
       .select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("col", "chunk")
 
+  /** The CORPUS-WIDE 16-token chunk grid ([[chunkRows]] at
+    * [[CorpusChunkTokens]]) as a shared materialized corpus asset,
+    * the chunk-family twin of `Dedup.sharedPostings`: three catalog
+    * entries (D32 `dedup_exact_para`, D40 `dedup_rewrite`, D83
+    * `boilerplate_chunks`) all start from the same tokenize+slice
+    * explode of the whole corpus, and Verify/Bench run them
+    * back-to-back in one session. A production pipeline materializes
+    * the chunk table once per corpus snapshot for exactly this reason.
+    * Bench reports the build as its own `shared_chunks_build` line so
+    * consumers' timings read as marginal costs; locking, eviction,
+    * and the immutable-corpus invariant are documented on AssetMemo.
+    */
+  private val chunksMemo = new graft.AssetMemo(8)
+
+  def sharedChunks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    chunksMemo.getOrBuild(s, d) {
+      chunkRows(Tables.documents(s, d), CorpusChunkTokens)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Chunk rows annotated with `kept` = corpus-wide first occurrence
     * (min (doc_id, pos)) of the chunk text. First occurrence is a
     * PARTIAL-AGGREGATED `min(struct(doc_id, pos))` joined back — NOT a
@@ -32,10 +53,16 @@ object CorpusIndex {
     * partition and sort them, while the partial agg collapses the
     * copies map-side before anything shuffles. Both sides of the join
     * shuffle on `chunk`, so the exchange is reused.
+    *
+    * `chunkSet` lets catalog entries feed the memoized [[sharedChunks]]
+    * asset instead of re-exploding the corpus; specs with planted docs
+    * omit it.
     */
   private[graft] def chunkKept(docs: org.apache.spark.sql.DataFrame,
-      chunkLen: Int): org.apache.spark.sql.DataFrame = {
-    val ch = chunkRows(docs, chunkLen)
+      chunkLen: Int,
+      chunkSet: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val ch = chunkSet.getOrElse(chunkRows(docs, chunkLen))
     val firsts = ch.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     ch.join(firsts, "chunk")
@@ -51,8 +78,10 @@ object CorpusIndex {
     * synthetic copied chunks.
     */
   def chunkDedupStats(docs: org.apache.spark.sql.DataFrame,
-      chunkLen: Int): org.apache.spark.sql.DataFrame =
-    chunkKept(docs, chunkLen)
+      chunkLen: Int,
+      chunkSet: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    chunkKept(docs, chunkLen, chunkSet)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
 
@@ -64,12 +93,14 @@ object CorpusIndex {
     * repeated templates.
     */
   def boilerplateStrip(docs: org.apache.spark.sql.DataFrame,
-      chunkLen: Int): org.apache.spark.sql.DataFrame = {
+      chunkLen: Int,
+      chunkSet: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("nchunks",
         floor(size(col("t")) / chunkLen).cast("int"))
-    val ch = chunkRows(docs, chunkLen)
+    val ch = chunkSet.getOrElse(chunkRows(docs, chunkLen))
     val cnts = ch.groupBy("chunk").agg(count(lit(1)).as("cnt"))
     val keptAgg = ch.join(cnts, "chunk")
       .filter(col("cnt") === 1)
@@ -167,7 +198,8 @@ object CorpusIndex {
     // the chunk, and the groupBy collapses to two longs per doc.
     "dedup_exact_para" -> QueryDef(
       (s, d) =>
-        chunkDedupStats(Tables.documents(s, d), CorpusChunkTokens)
+        chunkDedupStats(Tables.documents(s, d), CorpusChunkTokens,
+          Some(sharedChunks(s, d)))
           .orderBy("doc_id"),
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -208,7 +240,8 @@ object CorpusIndex {
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .withColumn("nchunks",
             floor(size(col("t")) / CorpusChunkTokens).cast("int"))
-        val keptAgg = chunkKept(docs, CorpusChunkTokens)
+        val keptAgg = chunkKept(docs, CorpusChunkTokens,
+            Some(sharedChunks(s, d)))
           .filter(col("kept") === 1)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
@@ -354,7 +387,8 @@ object CorpusIndex {
     // surviving text. md5 proves the rewrite byte-identical vs the
     // oracle's independent reconstruction.
     "boilerplate_chunks" -> QueryDef(
-      (s, d) => boilerplateStrip(Tables.documents(s, d), CorpusChunkTokens)
+      (s, d) => boilerplateStrip(Tables.documents(s, d), CorpusChunkTokens,
+        Some(sharedChunks(s, d)))
         .orderBy("doc_id"),
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
