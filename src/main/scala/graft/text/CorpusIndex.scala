@@ -142,6 +142,45 @@ object CorpusIndex {
     */
   private[graft] val CorpusChunkTokens = 16
 
+  /** Intra-document dedup core (D56): drop repeated chunks WITHIN each
+    * document (first in-doc occurrence wins) and rebuild the text.
+    * ROW-LOCAL by construction — one higher-order-function pass over
+    * the scan, zero shuffles/joins, no hot-key exposure,
+    * embarrassingly parallel at 100 TB. First-occurrence keep is
+    * `array_position(chunks, c) == i+1`, O(c²) compares per doc where
+    * c = chunks/doc — doc-length-bounded (never corpus-bounded) and
+    * cheaper than the two chunk-keyed exchanges it replaces for any
+    * realistic document length; a corpus of multi-MB docs would switch
+    * this to a per-row hash set via a native Expression before it
+    * switched back to a shuffle. Factored out so specs can plant
+    * in-doc and cross-doc repeats.
+    */
+  def intradocStrip(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("nchunks",
+        floor(size(col("t")) / chunkLen).cast("int"))
+      .withColumn("chunks",
+        when(col("nchunks") > 0,
+          transform(sequence(lit(0), col("nchunks") - 1),
+            i => array_join(
+              slice(col("t"), i * chunkLen + 1, lit(chunkLen)), " ")))
+          .otherwise(array()))
+      .withColumn("kept",
+        filter(col("chunks"), (c, i) =>
+          array_position(col("chunks"), c) === (i + 1).cast("long")))
+      .withColumn("kept_str", array_join(col("kept"), " "))
+      .withColumn("tail",
+        array_join(
+          expr(s"slice(t, nchunks*$chunkLen+1, " +
+            s"size(t) - nchunks*$chunkLen)"), " "))
+      .select(col("doc_id"),
+        col("nchunks").cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", expr("nullif(kept_str, '')"),
+          expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
+
   /** Chunk width for IN-DOCUMENT dedup — D56 `intradoc_dedup`.
     * Deliberately smaller than [[CorpusChunkTokens]]: the synthetic
     * corpus has no paragraph breaks and only short chunks actually
@@ -301,44 +340,13 @@ object CorpusIndex {
          ORDER BY m.doc_id"""),
 
     // D56 — INTRA-document dedup (the pass BEFORE cross-doc dedup):
-    // drop repeated chunks WITHIN each document, keeping the first
-    // in-doc occurrence, and rebuild the text. Unit = non-overlapping
-    // 2-token chunk (the corpus has no paragraph breaks; 2-token chunks
-    // actually repeat within a doc). Unlike D32's corpus-wide pass this
-    // one never shuffles on the raw chunk string at all: the dedup key
-    // is (doc_id, chunk), so every group is bounded by a single
-    // document's length and the whole operator is one doc-keyed
-    // shuffle — no hot-key exposure, embarrassingly parallel at 100 TB.
-    // The per-doc collect_list is doc-length-bounded, not corpus-bound.
+    // unit = non-overlapping 2-token chunk (the corpus has no
+    // paragraph breaks; 2-token chunks actually repeat within a doc).
+    // See [[intradocStrip]] for the row-local zero-shuffle plan shape;
+    // the only exchange here is the gate's final ORDER BY.
     "intradoc_dedup" -> QueryDef(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val toks = docs
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .withColumn("nchunks",
-            floor(size(col("t")) / IntraDocChunkTokens).cast("int"))
-        val kept = chunkRows(docs, IntraDocChunkTokens)
-          .groupBy("doc_id", "chunk")
-          .agg(min("pos").as("pos"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(
-              transform(
-                array_sort(collect_list(struct(col("pos"), col("chunk")))),
-                x => x.getField("chunk")), " ").as("kept_str"))
-        toks
-          .join(kept, Seq("doc_id"), "left")
-          .withColumn("tail",
-            array_join(
-              expr(s"slice(t, nchunks*$IntraDocChunkTokens+1, " +
-                s"size(t) - nchunks*$IntraDocChunkTokens)"), " "))
-          .select(col("doc_id"),
-            col("nchunks").cast("long").as("n_chunks"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            md5(concat_ws(" ", col("kept_str"),
-              expr("nullif(tail, '')")).cast("binary")).as("text_md5"))
-          .orderBy("doc_id")
-      },
+      (s, d) => intradocStrip(Tables.documents(s, d), IntraDocChunkTokens)
+        .orderBy("doc_id"),
       raw"""WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),

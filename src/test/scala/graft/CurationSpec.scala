@@ -53,6 +53,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1)._4 == md5hex(b16))
   }
 
+  test("intradoc strip drops in-doc repeats but keeps cross-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c d x"), // "a b" repeats IN-doc: second copy goes
+      (2L, "a b e f")        // "a b" again, but cross-doc: stays
+    ).toDF("doc_id", "text")
+    val got = CorpusIndex.intradocStrip(docs, 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((1L, 3L, 2L), (2L, 2L, 2L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 rebuilds without the repeated "a b", tail token intact
+    assert(got(0)._4 == md5hex("a b c d x"))
+    assert(got(1)._4 == md5hex("a b e f"))
+  }
+
   test("a doc copied from the benchmark scores contamination 1.0, disjoint scores 0") {
     import spark.implicits._
     val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
