@@ -114,11 +114,18 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "8").toInt
     val sentinels = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     def sentinelOnce(afterEntry: Int): Unit = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 100000000L, 1L, cpus.toInt)
-        .selectExpr("sum(id % 7) AS s")
-        .write.format("noop").mode("overwrite").save()
-      sentinels += (afterEntry -> (System.nanoTime() - t0) / 1e9)
+      // each reading is the median of 3 probe runs: a single run of a
+      // ~0.2 s job still varies several-fold with thread scheduling
+      // (round-6 observed 0.05-0.33 s on a quiet host), which would
+      // make the sentinel itself the noisiest line in the artifact
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 100000000L, 1L, cpus.toInt)
+          .selectExpr("sum(id % 7) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinels += (afterEntry -> runs.sorted.apply(1))
     }
     var entryIdx = 0
     def withSentinel(name: String, t: Double): (String, Double) = {

@@ -159,6 +159,55 @@ object TextAnalysis {
          SELECT predicted_lang, count(*) AS n_docs
          FROM p GROUP BY predicted_lang ORDER BY predicted_lang"""),
 
+    // D85 — language confusion matrix: declared `lang` metadata vs the
+    // D8 heuristic's prediction, with each cell's share of its declared
+    // language (the row-normalized recall view). The standard
+    // metadata-audit eval a multilingual pipeline runs before trusting
+    // either signal for mix design. Reuses the exact withLangId column
+    // both sides, so D8 and D85 cannot de-synchronize. Plan: one
+    // (lang, predicted) shuffle; the per-lang totals re-group that
+    // dimension-bounded aggregate and come back via broadcast join —
+    // the corpus is scanned once and nothing wide ever shuffles.
+    "lang_confusion" -> QueryDef(
+      (s, d) => {
+        val cells = withLangId(Tables.documents(s, d))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = cells.groupBy("lang").agg(sum("n_docs").as("n_lang"))
+        cells.join(broadcast(tot), "lang")
+          .select(col("lang"), col("predicted_lang"), col("n_docs"),
+            round(col("n_docs").cast("double") /
+              col("n_lang").cast("double"), 4).as("share"))
+          .orderBy("lang", "predicted_lang")
+      },
+      """WITH c AS (
+           SELECT lang,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('the','a','of'))) AS c_en,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('el','la','de'))) AS c_es,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('der','die','und'))) AS c_de,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> x IN ('le','les','et'))) AS c_fr
+           FROM documents),
+         p AS (
+           SELECT lang, CASE
+                    WHEN c_en + c_es + c_de + c_fr = 0 THEN 'unknown'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+           FROM c),
+         m AS (SELECT lang, predicted_lang, count(*) AS n_docs
+               FROM p GROUP BY 1, 2),
+         t AS (SELECT lang, sum(n_docs) AS n_lang FROM m GROUP BY 1)
+         SELECT m.lang, m.predicted_lang, m.n_docs,
+                round(CAST(m.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE), 4)
+                  AS share
+         FROM m JOIN t USING (lang)
+         ORDER BY lang, predicted_lang"""),
+
     // D9b — repetition detection: distinct-to-total 3-gram ratio (the
     // classic repeated-paragraph/boilerplate signal). Low ratio = the
     // document repeats itself.

@@ -73,6 +73,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1)._4 == md5hex("a b e f"))
   }
 
+  test("lang confusion cells and shares for planted mislabeled docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of x", "en"),   // en predicted, en declared
+      (2L, "el la de y", "en"),   // es predicted, en declared (mislabel)
+      (3L, "der die und z", "de") // de/de
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.text.TextAnalysis.withLangId(docs)
+      .groupBy("lang", "predicted_lang").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "en") -> 1L, ("en", "es") -> 1L,
+      ("de", "de") -> 1L))
+  }
+
   test("a doc copied from the benchmark scores contamination 1.0, disjoint scores 0") {
     import spark.implicits._
     val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
