@@ -24,18 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark only reads
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (as a long). Convert
-    * to a microsecond timestamp with integer division (`div`, not `/` —
-    * double division loses precision on 1e18-scale nano epochs).
+  /** `events.ts` arrives in whatever physical type the generator last
+    * wrote: TIMESTAMP(NANOS) reads (under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) as a long — convert
+    * with integer division (`div`, not `/`: double division loses
+    * precision on 1e18-scale nano epochs); timestamp[us] without UTC
+    * adjustment reads as TIMESTAMP_NTZ — cast to the session
+    * (instant-typed) TIMESTAMP, value-preserving because every graft
+    * session pins spark.sql.session.timeZone=UTC, and required because
+    * instant functions (`unix_micros`, watermarks) reject NTZ input.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

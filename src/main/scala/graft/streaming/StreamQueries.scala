@@ -41,11 +41,7 @@ object StreamQueries {
       .option("basePath", d)
       .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .parquet(s"$d/*events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    Tables.normalizeTs(raw)
   }
 
   /** Clamp `spark.sql.shuffle.partitions` to ≤4 for the duration of a
