@@ -12,6 +12,28 @@ import graft.{QueryDef, Tables}
   */
 object VectorAnalytics {
 
+  /** D89 core — per-label L2-norm audit of an (label, embedding)
+    * frame. Factored out so specs can plant unit/zero/scaled vectors
+    * and check the envelope and counters.
+    */
+  def normProfile(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    emb
+      .select(col("label"), nrm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 4).as("mean_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        sum(when(abs(col("nrm") - 1.0) <= 0.01, lit(1L))
+          .otherwise(lit(0L))).as("n_unit"),
+        sum(when(col("nrm") < 1e-6, lit(1L)).otherwise(lit(0L)))
+          .as("n_zero"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Per-label centroid norms: posexplode → dimension-wise mean →
@@ -347,5 +369,35 @@ object VectorAnalytics {
                        THEN (b - a) / greatest(a, b) END AS s
            FROM ab)
          SELECT label, count(*) AS n_vecs, round(avg(s), 4) AS avg_sil
-         FROM sil GROUP BY label ORDER BY label"""))
+         FROM sil GROUP BY label ORDER BY label"""),
+
+    // D89 — embedding L2-norm audit per label: the sanity gate every
+    // vector pipeline runs before cosine math — un-normalized or
+    // zero vectors silently corrupt cosine top-k (D6) and centroid
+    // geometry (D16/D33), so the audit reports each label's norm
+    // envelope plus how many vectors sit within 1% of unit norm and
+    // how many are effectively zero. Scan-local per row (one
+    // sequential fold over the 64 dims — same discipline as D33's
+    // distance fold, so both engines produce bit-identical norms
+    // before the label-bounded collapse), one dimension-bounded
+    // aggregate; min/max are exact on identical doubles, avg is the
+    // 4 dp-round-over-identical-values discipline the family already
+    // gate-proves.
+    "embedding_norm_profile" -> QueryDef(
+      (s, d) => normProfile(Tables.embeddings(s, d)),
+      """WITH norms AS (
+           SELECT label,
+                  sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)
+                                 for i in range(1, 65)])) AS nrm
+           FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+                round(avg(nrm), 4) AS mean_norm,
+                round(min(nrm), 4) AS min_norm,
+                round(max(nrm), 4) AS max_norm,
+                CAST(sum(CASE WHEN abs(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unit,
+                CAST(sum(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_zero
+         FROM norms GROUP BY label ORDER BY label"""))
 }

@@ -24,6 +24,33 @@ object CorpusIndex {
       .select(col("doc_id"), posexplode(col("chunks")))
       .withColumnRenamed("col", "chunk")
 
+  /** D88 core — per-source duplicated-span coverage over the chunk
+    * grid. `chunkSet` feeds the memoized [[sharedChunks]] asset from
+    * catalog entries; specs with planted docs omit it. Docs too short
+    * to produce a chunk contribute to `n_docs` only.
+    */
+  private[graft] def spanCoverage(docs: org.apache.spark.sql.DataFrame,
+      chunkLen: Int,
+      chunkSet: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val ch = chunkSet.getOrElse(chunkRows(docs, chunkLen))
+    val cnts = ch.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    val perDoc = ch.join(cnts, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("cnt") > 1, lit(1L)).otherwise(lit(0L))).as("nd"))
+    docs.select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("nc"), lit(0L)).as("n_chunks"),
+        coalesce(sum("nd"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_span_frac",
+        when(col("n_chunks") > 0,
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4)))
+      .orderBy("source")
+  }
+
   /** The CORPUS-WIDE 16-token chunk grid ([[chunkRows]] at
     * [[CorpusChunkTokens]]) as a shared materialized corpus asset,
     * the chunk-family twin of `Dedup.sharedPostings`: three catalog
@@ -429,5 +456,50 @@ object CorpusIndex {
                            ''))) AS text_md5
          FROM meta m
          LEFT JOIN keptagg k USING (doc_id)
-         ORDER BY m.doc_id"""))
+         ORDER BY m.doc_id"""),
+
+    // D88 — duplicated-SPAN coverage per source: what fraction of each
+    // feed's 16-token chunk grid is text that occurs elsewhere in the
+    // corpus (chunk occurrence count > 1). The span-granular
+    // complement of D63's doc-level dup_rate: a feed can have ZERO
+    // whole-doc near-dups yet be 40% boilerplate spans, and it's the
+    // span number that predicts what D83's strip will delete from it.
+    // Plan shape: the shared chunk-grid asset shuffles once on chunk
+    // for occurrence counts (map-side partial agg collapses every
+    // boilerplate chunk's copies before the wire), the grid joins back
+    // on the SAME key (exchange reused), collapses doc-keyed, then the
+    // source roll-up is dimension-bounded. Counts are exact longs;
+    // the one ratio divides them once per source, 4 dp.
+    "dup_span_coverage" -> QueryDef(
+      (s, d) => spanCoverage(Tables.documents(s, d), CorpusChunkTokens,
+        Some(sharedChunks(s, d))),
+      raw"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         meta AS (SELECT doc_id, t,
+                         len(t) // $CorpusChunkTokens AS nchunks FROM toks),
+         ch AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(t[i*$CorpusChunkTokens+1 :
+                                    i*$CorpusChunkTokens+$CorpusChunkTokens],
+                                  ' ') AS chunk
+           FROM meta,
+                unnest(range(0, ${OracleMaxDocTokens / CorpusChunkTokens}))
+                  AS u(i)
+           WHERE i < nchunks),
+         cnts AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY chunk),
+         per_doc AS (
+           SELECT doc_id, count(*) AS nc,
+                  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS nd
+           FROM ch JOIN cnts USING (chunk) GROUP BY doc_id)
+         SELECT d.source, count(*) AS n_docs,
+                CAST(COALESCE(sum(p.nc), 0) AS BIGINT) AS n_chunks,
+                CAST(COALESCE(sum(p.nd), 0) AS BIGINT) AS n_dup_chunks,
+                CASE WHEN COALESCE(sum(p.nc), 0) > 0
+                     THEN round(CAST(COALESCE(sum(p.nd), 0) AS DOUBLE)
+                                / COALESCE(sum(p.nc), 0), 4) END
+                  AS dup_span_frac
+         FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         GROUP BY d.source
+         ORDER BY d.source"""))
 }

@@ -20,6 +20,31 @@ import graft.dedup.{Clusters, Dedup}
   */
 object Curate {
 
+  /** D87 core — near-dup pairs bucketed by unordered endpoint-source
+    * pair. `pairs` must carry (doc_a, doc_b, jaccard) with jaccard
+    * already rounded to 4 dp (the shared-pair-asset contract).
+    * Factored out so specs can plant a cross-feed duplicate and check
+    * which cell it lands in.
+    */
+  def sourceMatrix(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val src = docs.select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("_sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("_sb")), "doc_b")
+      .groupBy(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 10000, 0).cast("long")).as("_sj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("_sj") / (lit(10000.0) * col("n_pairs")), 4)
+          .as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The curated keep-set (doc_id, n_tokens, quality): quality ∧
     * cluster-representative ∧ length. Shared by the manifest entry and
     * the training-layout composition below.
@@ -153,6 +178,61 @@ object Curate {
                   AS dup_rate
          FROM documents d LEFT JOIN dups dp USING (doc_id)
          GROUP BY d.source ORDER BY d.source"""),
+
+    // D87 — cross-source duplication matrix: near-dup PAIRS bucketed
+    // by the unordered (source, source) pair of their endpoints — the
+    // feed-overlap map that tells a corpus owner WHICH providers are
+    // reselling each other's crawl (off-diagonal mass) vs merely
+    // self-duplicating (diagonal), the decision input for dropping a
+    // whole feed rather than paying per-doc dedup against it. Reads
+    // the shared pair asset (dup-bounded, built once per corpus
+    // snapshot); the two endpoint→source lookups are doc_id-keyed
+    // shuffle joins against the corpus (fact-fact: the pair side is
+    // unbounded in principle, so broadcast is wrong), then the final
+    // collapse is source²-bounded — tiny. Mean jaccard is computed
+    // from EXACT integer sums: each pair's 4 dp score scales to a
+    // lossless ×10000 long, the per-cell sum is order-independent
+    // integer arithmetic, and one double division at the end — an
+    // avg() over the raw doubles rounds differently between engines
+    // whenever a cell mean lands on a 4 dp boundary (observed at
+    // sf0.1: 0.93905 summed in two orders → 0.939 vs 0.9391).
+    "dup_source_matrix" -> QueryDef(
+      (s, d) => sourceMatrix(Tables.documents(s, d),
+        Dedup.sharedPairs(s, d)),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b,
+                  round(common * 1.0 / (na + nb - common), 4) AS jaccard
+           FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+         SELECT least(da.source, db.source) AS source_a,
+                greatest(da.source, db.source) AS source_b,
+                count(*) AS n_pairs,
+                round(sum(CAST(round(jaccard * 10000, 0) AS BIGINT))
+                      / (10000.0 * count(*)), 4) AS mean_jaccard
+         FROM pairs p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+         GROUP BY 1, 2
+         ORDER BY source_a, source_b"""),
 
     // The WHOLE training-data pipeline as one gate-checked query:
     // curation keep-set → deterministic global shuffle → 2048-token

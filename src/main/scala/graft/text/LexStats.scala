@@ -46,6 +46,43 @@ object LexStats {
       .orderBy("doc_id")
   }
 
+  /** D86 core — OLS fit of log10(freq) on log10(rank) over the top-`k`
+    * terms of `docs`' frequency spectrum. Factored out so specs can
+    * plant an exact power-law corpus and check the recovered slope.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("term")).limit(k)
+      .agg(sort_array(collect_list(
+        struct((-col("n")).as("negn"), col("term")))).as("a"))
+      .select(size(col("a")).as("k"),
+        aggregate(
+          zip_with(col("a"), sequence(lit(1), size(col("a"))),
+            (t, r) => struct(
+              log10(r.cast("double")).as("x"),
+              log10((-t.getField("negn")).cast("double")).as("y"))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+            lit(0.0).as("sxy"), lit(0.0).as("sxx")),
+          (acc, p) => struct(
+            (acc.getField("sx") + p.getField("x")).as("sx"),
+            (acc.getField("sy") + p.getField("y")).as("sy"),
+            (acc.getField("sxy") + p.getField("x") * p.getField("y"))
+              .as("sxy"),
+            (acc.getField("sxx") + p.getField("x") * p.getField("x"))
+              .as("sxx"))).as("s"))
+      .withColumn("_slope",
+        (col("k") * col("s.sxy") - col("s.sx") * col("s.sy")) /
+          (col("k") * col("s.sxx") - col("s.sx") * col("s.sx")))
+      .select(col("k").cast("bigint").as("k_terms"),
+        round(col("_slope"), 4).as("zipf_slope"),
+        round((col("s.sy") - col("_slope") * col("s.sx")) / col("k"), 4)
+          .as("intercept"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D69 — per-document n-gram NOVELTY: the fraction of a doc's
@@ -238,5 +275,49 @@ object LexStats {
            FROM counts GROUP BY doc_id)
          SELECT doc_id, n_distinct,
                 round(ln(CAST(n AS DOUBLE)) - clnc / n, 4) AS entropy
-         FROM agg ORDER BY doc_id"""))
+         FROM agg ORDER BY doc_id"""),
+
+    // D86 — Zipf-law fit over the corpus frequency spectrum: OLS slope
+    // and intercept of log10(freq) on log10(rank) for the top-100
+    // terms. Natural text sits near slope −1; templated/synthetic
+    // corpora flatten or steepen it, so the slope is a one-number
+    // distribution-shift alarm to track across corpus snapshots (the
+    // per-source twin of what D84's KL gives pairwise). Plan shape:
+    // the one unavoidable open-vocabulary term shuffle (map-side
+    // partial agg), then TakeOrderedAndProject(100) — never a full
+    // sort — and the regression runs INSIDE one row: the top-100
+    // spectrum is collected into a single sorted array and all four
+    // power sums accumulate in one sequential `aggregate` fold, so
+    // both engines add the same doubles in the same (rank) order and
+    // the unrounded sums are bit-identical (each accumulator's
+    // sequence is independent of the interleaving). log10 is libm —
+    // same 4 dp-round discipline as D59/D84's ln.
+    "token_zipf_fit" -> QueryDef(
+      (s, d) => zipfFit(Tables.documents(s, d)),
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         counts AS (
+           SELECT term, count(*) AS n FROM toks WHERE term <> ''
+           GROUP BY term),
+         top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
+         arr AS (SELECT list(CAST(n AS DOUBLE) ORDER BY n DESC, term) AS a
+                 FROM top),
+         sums AS (
+           SELECT len(a) AS k,
+                  list_sum([log10(CAST(i AS DOUBLE))
+                            for i in range(1, len(a) + 1)]) AS sx,
+                  list_sum([log10(a[i])
+                            for i in range(1, len(a) + 1)]) AS sy,
+                  list_sum([log10(CAST(i AS DOUBLE)) * log10(a[i])
+                            for i in range(1, len(a) + 1)]) AS sxy,
+                  list_sum([log10(CAST(i AS DOUBLE)) * log10(CAST(i AS DOUBLE))
+                            for i in range(1, len(a) + 1)]) AS sxx
+           FROM arr)
+         SELECT CAST(k AS BIGINT) AS k_terms,
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                  AS zipf_slope,
+                round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                      / k, 4) AS intercept
+         FROM sums"""))
 }

@@ -112,4 +112,39 @@ class CurationSpec extends AnyFunSuite {
     assert(out.join(docs, "doc_id")
       .filter(col("source") === "src0").count() == 0)
   }
+
+  test("source matrix buckets a cross-feed pair off-diagonal, intra-feed on") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "feedA"), (2L, "feedB"), (3L, "feedA"), (4L, "feedA")
+    ).toDF("doc_id", "source")
+    val pairs = Seq(
+      (1L, 2L, 0.8), // A×B — the reselling signal
+      (3L, 4L, 0.6)  // A×A — self-duplication
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.text.Curate.sourceMatrix(docs, pairs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("feedA", "feedA", 1L, 0.6),
+      ("feedA", "feedB", 1L, 0.8)))
+  }
+
+  test("span coverage counts corpus-repeated chunks per source") {
+    import spark.implicits._
+    val shared = (1 to 4).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared e f g h", "src1"), // 2 chunks, first repeated in doc 2
+      (2L, s"$shared x y z w", "src1"), // 2 chunks, first repeated in doc 1
+      (3L, "p q", "src2")               // too short for any chunk
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusIndex.spanCoverage(docs, 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == Seq(
+      ("src1", 2L, 4L, 2L, Some(0.5)),
+      ("src2", 1L, 0L, 0L, None)))
+  }
 }

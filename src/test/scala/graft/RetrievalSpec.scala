@@ -197,4 +197,42 @@ class RetrievalSpec extends AnyFunSuite {
       assert(math.abs(eff * hhi - 1.0) < 1e-2)
     }
   }
+
+  test("zipf fit recovers an exact 1/rank power law") {
+    import spark.implicits._
+    // freq_i = 840/i exactly for ranks 1..4 → log10 freq is EXACTLY
+    // linear in log10 rank with slope −1, intercept log10(840)
+    val freqs = Seq("w1" -> 840, "w2" -> 420, "w3" -> 280, "w4" -> 210)
+    val text = freqs.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.text.LexStats.zipfFit(docs, k = 4).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0)
+    assert(r.getDouble(2) == math.rint(math.log10(840.0) * 10000) / 10000)
+  }
+
+  test("zipf slope on the corpus is negative and k_terms respects the cap") {
+    val r = SparkEntry.queries("token_zipf_fit")(spark, TestSpark.sf)
+      .collect().head
+    // k_terms = min(100, |vocabulary|): the sf0.001 smoke corpus has a
+    // vocabulary smaller than the cap
+    assert(r.getLong(0) > 0L && r.getLong(0) <= 100L)
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
+  }
+
+  test("norm profile flags unit, zero and scaled vectors per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(3.0f, 4.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.similarity.VectorAnalytics.normProfile(emb)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (0, 2L, 0.5, 0.0, 1.0, 1L, 1L),
+      (1, 1L, 5.0, 5.0, 5.0, 0L, 0L)))
+  }
 }
