@@ -247,6 +247,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** D91 core — per-band bucket-size statistics of the 128-perm /
+    * 32-band minhash LSH. Buckets are keyed by the raw signature slice
+    * (the same equality the candidate join uses), so the profile
+    * predicts the join's work exactly: `cand_pairs` is the per-band
+    * candidate yield before dedup across bands.
+    */
+  def bandProfile(docs: DataFrame,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
+    val sig = withShingles(docs).select(col("doc_id"),
+      HashOps.minhash(col("shingles"), numHashes).as("sig"))
+    val banded = sig.select(
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    banded.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("sz").as("max_bucket"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L)))
+          .as("n_collided"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy("band")
+  }
+
   /** D4 — SimHash near-dup: 64-bit signature, 4 bands of 16 bits for
     * candidate generation (any pair within hamming distance 3 shares at
     * least one intact band), verified with bit_count(xor) ≤ maxHamming.
@@ -410,7 +436,12 @@ object Dedup {
       * ⟺ slice equality, collisions aside), exact-Jaccard verify on
       * the shingle sets — the whole operator, reproduced in SQL.
       */
-    val minhashPairsSql: String =
+    /** Shared CTE chain for the minhash family: murmur3-exact 128-perm
+      * signatures through the 32-band slice explode (CTEs `sh`, `sig`,
+      * `bands`). Both the pair oracle and the band-profile oracle
+      * continue from `bands`.
+      */
+    private val minhashSigBandsSql: String =
       s"""WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents),
@@ -428,7 +459,10 @@ object Dedup {
               list_min(list_transform(ul, p -> p[1] + i*p[2]))) AS s
             FROM uls),
           bands AS (SELECT doc_id, bnd, s[4*bnd+1:4*bnd+4] AS bkey
-            FROM sig, unnest(range(0, 32)) AS u(bnd)),
+            FROM sig, unnest(range(0, 32)) AS u(bnd))"""
+
+    val minhashPairsSql: String =
+      s"""$minhashSigBandsSql,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -442,6 +476,21 @@ object Dedup {
             JOIN sh sb ON sb.doc_id = doc_b)
           SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
           WHERE j >= 0.5 ORDER BY doc_a, doc_b"""
+
+    /** minhash_band_profile oracle: per-band bucket-size statistics
+      * over the same murmur3-exact banded signatures.
+      */
+    val bandProfileSql: String =
+      s"""$minhashSigBandsSql,
+          bsz AS (SELECT bnd, bkey, count(*) AS sz
+                  FROM bands GROUP BY 1, 2)
+          SELECT CAST(bnd AS INT) AS band,
+                 count(*) AS n_buckets,
+                 CAST(max(sz) AS BIGINT) AS max_bucket,
+                 CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_collided,
+                 CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+          FROM bsz GROUP BY bnd ORDER BY band"""
 
     /** knn_lsh oracle: the random-hyperplane signatures replicated
       * bit-for-bit — plane components are
@@ -714,6 +763,22 @@ object Dedup {
       (s, d) => minhashPairs(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b"),
       MurmurSql.minhashPairsSql),
+
+    // D91 — per-band LSH bucket-size profile: for each of the 32 bands,
+    // the bucket count, the largest bucket, how many docs share a
+    // bucket with at least one other, and the exact candidate-pair
+    // yield Σ sz·(sz−1)/2. This is how banding parameters are VALIDATED
+    // at scale before paying for the candidate join: a healthy profile
+    // has max_bucket ≪ corpus and cand_pairs within budget; one fat
+    // bucket here is the pathological-skew early warning the round-4
+    // verdict asked the dedup family to watch for. Groups on the raw
+    // 4-perm signature SLICE (slice equality is the band-join
+    // predicate; no engine-private hash crosses the oracle boundary),
+    // so the plan is the LSH shuffle itself: (band, slice) partial-agg
+    // collapse, then a 32-row band collapse — all exact integers.
+    "minhash_band_profile" -> QueryDef(
+      (s, d) => bandProfile(Tables.documents(s, d)),
+      MurmurSql.bandProfileSql),
 
     // D4 — SimHash, oracle-checked: DuckDB recomputes the murmur3-exact
     // 64-bit signatures (SimhashSql) and the banding guarantee reduces

@@ -37,6 +37,32 @@ object CorpusStats {
           + log(col("n_corpus").cast("double")), 4).as("kl"))
   }
 
+  /** D90 core — exact inverted-CDF quantiles of `n_chars` per source
+    * over a (source, n_chars) frame. Factored out so specs can plant a
+    * known length ladder and check the cut points.
+    */
+  def lengthQuantiles(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = docs
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    cum.groupBy("source")
+      .agg(max("n").as("n_docs"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("n_chars")))
+          .as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("n_chars")))
+          .as("p90"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("n_chars")))
+          .as("p99"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D38 — exact heavy hitters over the corpus token stream, sketch
@@ -391,5 +417,34 @@ object CorpusStats {
          SELECT source, n_tokens, n_types,
                 round((clnc - clncorp) / n_tokens
                       - ln(n_tokens) + ln(n.n_corpus), 4) AS kl
-         FROM agg, n ORDER BY source"""))
+         FROM agg, n ORDER BY source"""),
+
+    // D90 — EXACT per-source length quantiles (p50/p90/p99 of n_chars,
+    // inverted-CDF definition: min value whose cumulative count reaches
+    // ceil(p·n)) — the latency-percentile idiom applied to document
+    // length, the number that actually sizes packing bins and truncation
+    // budgets (a mean from D74 hides the p99 tail that drives both).
+    // Scale shape: `percentile()`-style exact aggregation buffers every
+    // value of a group in executor memory — a 10⁹-doc source would OOM;
+    // this instead aggregates (source, n_chars) COUNTS (value-bounded:
+    // distinct lengths, not docs), then cumsums inside each source's
+    // value-bounded partition — a partitioned window over thousands of
+    // rows per source, never a per-doc sort. Everything is integer
+    // compare vs ceil(p·n) — no interpolation, no float accumulation,
+    // bit-identical across engines by construction.
+    "length_quantiles_by_source" -> QueryDef(
+      (s, d) => lengthQuantiles(Tables.documents(s, d)),
+      """WITH c AS (
+           SELECT source, n_chars, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_chars,
+                  sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS n
+           FROM c)
+         SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                min(CASE WHEN cum >= ceil(n * 0.5) THEN n_chars END) AS p50,
+                min(CASE WHEN cum >= ceil(n * 0.9) THEN n_chars END) AS p90,
+                min(CASE WHEN cum >= ceil(n * 0.99) THEN n_chars END) AS p99
+         FROM cum GROUP BY source ORDER BY source"""))
 }

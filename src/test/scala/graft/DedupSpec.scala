@@ -221,4 +221,25 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("band profile: identical docs collide in every band, uniques may not") {
+    import spark.implicits._
+    val same = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, same), (2L, same), (3L, same), // identical triple
+      (4L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = graft.dedup.Dedup.bandProfile(docs).collect()
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val (mx, collided, pairs) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // the identical triple shares every signature, hence every band
+      assert(mx >= 3L, s"band ${r.getInt(0)}: max bucket $mx")
+      assert(collided >= 3L)
+      assert(pairs >= 3L) // C(3,2) from the triple alone
+      // 5 docs can never produce more than C(5,2) candidates in a band
+      assert(pairs <= 10L)
+    }
+  }
 }

@@ -220,6 +220,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
   }
 
+  test("length quantiles cut an exact ladder at the inverted-CDF points") {
+    import spark.implicits._
+    // lengths 1..10 in one source: p50 = 5 (cum 5 ≥ ceil(5.0)),
+    // p90 = 9 (cum 9 ≥ ceil(9.0)), p99 = 10 (cum 10 ≥ ceil(9.9))
+    val docs = (1 to 10).map(i => (i.toLong, "srcQ", i.toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val r = graft.text.CorpusStats.lengthQuantiles(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 5L, 9L, 10L)))
+  }
+
   test("norm profile flags unit, zero and scaled vectors per label") {
     import spark.implicits._
     val emb = Seq(
