@@ -178,6 +178,56 @@ object Clusters {
          SELECT a AS doc_id, min(b) AS cluster_rep
          FROM reach GROUP BY a ORDER BY doc_id"""),
 
+    // D92 — duplicate-cluster SIZE histogram: how many clusters have
+    // 2 members, 3, … — the shape that decides dedup strategy at the
+    // corpus level. A long tail of pairs is normal crawl duplication;
+    // ONE mega-cluster is a template/mirror pathology that keep-first
+    // representative selection handles badly (the rep itself is
+    // boilerplate) and that inflates every pairwise pass downstream —
+    // this histogram is where it becomes visible before any of that
+    // runs. Reads the shared label asset; two dup-bounded aggregates
+    // (cluster_rep collapse, then size collapse) — nothing here is
+    // corpus-proportional beyond the label frame itself.
+    "cluster_size_hist" -> QueryDef(
+      (s, d) =>
+        sharedLabels(s, d)
+          .groupBy("cluster_rep")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size"),
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+         csz AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM csz GROUP BY cluster_size ORDER BY cluster_size"""),
+
     // D14b — canonical-representative selection: after clustering, a
     // curation pipeline keeps ONE doc per near-dup cluster — the
     // highest-quality member (here: longest text, ties to the smallest

@@ -74,6 +74,41 @@ object Curate {
       .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
   }
 
+  /** D93 core — per-source stage-by-stage attrition through the
+    * curation pipeline. Stages mirror [[keptSet]] exactly: quality
+    * gate, then the length gate on top, dedup survival independently,
+    * and the intersection = what curate_keep would emit. One corpus
+    * scan scores everything; the dup flag arrives via a doc_id-keyed
+    * left join against the label asset's non-representatives (corpus-
+    * proportional in the worst case — no broadcast hint, AQE may
+    * downgrade); the collapse is source-bounded.
+    */
+  def curationFunnel(docs: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(t).as("n_tokens"), TextAnalysis.qualityCol.as("quality"))
+    val dropped = labels.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("dup_id"))
+    val q = col("quality") >= 0.5
+    val ql = q && col("n_tokens") >= 20
+    scored
+      .join(dropped, col("doc_id") === col("dup_id"), "left")
+      .withColumn("is_dup", col("dup_id").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(q, lit(1L)).otherwise(lit(0L))).as("n_quality"),
+        sum(when(ql, lit(1L)).otherwise(lit(0L))).as("n_quality_len"),
+        sum(when(!col("is_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_unique"),
+        sum(when(ql && !col("is_dup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_raw"), 4))
+      .orderBy("source")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "curate_keep" -> QueryDef(
       (s, d) => keptSet(Tables.documents(s, d),
@@ -233,6 +268,76 @@ object Curate {
          JOIN documents db ON p.doc_b = db.doc_id
          GROUP BY 1, 2
          ORDER BY source_a, source_b"""),
+
+    // D93 — the curation funnel as a per-source observability report:
+    // raw → quality-gate survivors → +length gate → dedup survivors
+    // (independent) → kept intersection, with the final keep rate.
+    // This is the number a corpus owner actually watches per feed and
+    // per snapshot — a feed whose keep_rate collapses between
+    // snapshots changed its content pipeline, and WHICH stage absorbed
+    // the loss says whether it's spam (quality), fragments (length),
+    // or republication (dedup). The oracle recomposes all three gates
+    // plus the recursive-CTE closure independently.
+    "curation_funnel" -> QueryDef(
+      (s, d) => curationFunnel(Tables.documents(s, d),
+        Clusters.sharedLabels(s, d)),
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, source,
+                  regexp_split_to_array(trim(text), '\s+') AS t,
+                  length(text) AS lc,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+           FROM documents),
+         scored AS (
+           SELECT doc_id, source, len(t) AS n_tokens,
+                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(len(list_filter(t,
+                            x -> x IN ('the','a','of','and','to','in','is')))
+                            AS DOUBLE) / CAST(len(t) AS DOUBLE))
+                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
+                        4) AS quality
+           FROM toks),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym_e AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym_e
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym_e s ON r.b = s.a),
+         comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+         SELECT s.source, count(*) AS n_raw,
+                CAST(sum(CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_quality,
+                CAST(sum(CASE WHEN s.quality >= 0.5 AND s.n_tokens >= 20
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_len,
+                CAST(sum(CASE WHEN dp.doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN s.quality >= 0.5 AND s.n_tokens >= 20
+                                   AND dp.doc_id IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN s.quality >= 0.5 AND s.n_tokens >= 20
+                                         AND dp.doc_id IS NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS keep_rate
+         FROM scored s LEFT JOIN dropped dp USING (doc_id)
+         GROUP BY s.source ORDER BY s.source"""),
 
     // The WHOLE training-data pipeline as one gate-checked query:
     // curation keep-set → deterministic global shuffle → 2048-token

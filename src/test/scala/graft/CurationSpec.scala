@@ -131,6 +131,37 @@ class CurationSpec extends AnyFunSuite {
       ("feedA", "feedB", 1L, 0.8)))
   }
 
+  test("curation funnel attributes losses to the right stage per source") {
+    import spark.implicits._
+    val stop100 = Seq.fill(100)("the").mkString(" ") // quality 1.0
+    val uniq100 = (1 to 100).map(i => s"w$i").mkString(" ") // quality 0.6
+    val docs = Seq(
+      (1L, stop100, "srcA"),  // passes everything
+      (2L, "xx yy", "srcA"),  // fails quality AND length
+      (3L, uniq100, "srcB"),  // cluster representative
+      (4L, uniq100, "srcB")   // duplicate of 3 (planted label)
+    ).toDF("doc_id", "text", "source")
+    val labels = Seq((3L, 3L), (4L, 3L)).toDF("doc_id", "cluster_rep")
+    val got = graft.text.Curate.curationFunnel(docs, labels)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("srcA", 2L, 1L, 1L, 2L, 1L, 0.5),
+      ("srcB", 2L, 2L, 2L, 1L, 1L, 0.5)))
+  }
+
+  test("cluster size histogram counts component sizes from the edge list") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val labels = graft.dedup.Clusters.connectedComponents(edges)
+    val hist = labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("span coverage counts corpus-repeated chunks per source") {
     import spark.implicits._
     val shared = (1 to 4).map(i => s"s$i").mkString(" ")
