@@ -34,6 +34,39 @@ object VectorAnalytics {
       .orderBy("label")
   }
 
+  /** D94 core — per-source centroid L2 drift from the corpus centroid,
+    * over (vec_id, embedding) tagged by a (vec_id, source) frame.
+    * Factored out so specs can plant orthogonal sources with a known
+    * midpoint centroid.
+    */
+  def sourceDrift(embRaw: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = embRaw.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val j = emb.join(src, "vec_id")
+    val dims = j.select(col("source"), posexplode(col("v")))
+    val carr = dims.groupBy("source", "pos")
+      .agg(round(avg("col"), 4).as("m"))
+      .groupBy("source")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    val garr = dims.groupBy("pos")
+      .agg(round(avg("col"), 4).as("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("g"))
+    val nv = j.groupBy("source").agg(count(lit(1)).as("n_vecs"))
+    carr.join(nv, "source")
+      .crossJoin(broadcast(garr))
+      .select(col("source"), col("n_vecs"),
+        round(sqrt(aggregate(
+          zip_with(col("c"), col("g"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)), 4).as("l2_drift"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Per-label centroid norms: posexplode → dimension-wise mean →
@@ -399,5 +432,43 @@ object VectorAnalytics {
                      AS BIGINT) AS n_unit,
                 CAST(sum(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_zero
-         FROM norms GROUP BY label ORDER BY label"""))
+         FROM norms GROUP BY label ORDER BY label"""),
+
+    // D94 — per-source embedding drift: L2 distance between each
+    // source's embedding centroid and the corpus centroid — the
+    // EMBEDDING-space twin of D84's lexical KL. A feed whose centroid
+    // drifts between snapshots changed content in a way unigram
+    // statistics can miss (same words, different topics/templates);
+    // at curation time the two signals together say whether to
+    // re-balance the mix. Plan shape: one doc_id-keyed join tags
+    // vectors with their source (fact-fact, shuffle), then BOTH
+    // centroids come from one posexplode pass (dimension-bounded
+    // aggregates, map-side partial), and the distance folds
+    // sequentially over the 4 dp-rounded centroid pair exactly as
+    // D33 does — the rounding makes the fold inputs engine-identical.
+    "source_embedding_drift" -> QueryDef(
+      (s, d) => sourceDrift(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source"))),
+      """WITH joined AS (
+           SELECT d.source, e.embedding
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         dims AS (
+           SELECT source, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+           FROM joined, unnest(range(1, 65)) AS t(i)),
+         cent AS (
+           SELECT source, pos, round(avg(x), 4) AS m
+           FROM dims GROUP BY 1, 2),
+         carr AS (SELECT source, list(m ORDER BY pos) AS c
+                  FROM cent GROUP BY 1),
+         gc AS (SELECT pos, round(avg(x), 4) AS m FROM dims GROUP BY 1),
+         garr AS (SELECT list(m ORDER BY pos) AS g FROM gc),
+         nv AS (SELECT source, count(*) AS n_vecs FROM joined GROUP BY 1)
+         SELECT c.source, nv.n_vecs,
+                round(sqrt(list_sum([(c.c[i] - garr.g[i])
+                                     * (c.c[i] - garr.g[i])
+                                     for i in range(1, 65)])), 4) AS l2_drift
+         FROM carr c JOIN nv USING (source), garr
+         ORDER BY source"""))
 }

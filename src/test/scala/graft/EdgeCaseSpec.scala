@@ -41,4 +41,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(stats.toSeq == Seq((1L, 1L)))
   }
+
+  test("normalizeTs maps nanos-as-long and NTZ encodings to one instant") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // 1700000000 epoch seconds = 2023-11-14T22:13:20Z; the generator
+    // has shipped events.ts as TIMESTAMP(NANOS) (reads as long under
+    // nanosAsLong) and as timestamp[us] NTZ across rounds — both must
+    // normalize to the same instant-typed column
+    val asLong = Seq((1L, 1700000000000000000L)).toDF("id", "ts")
+    val asNtz = spark.sql(
+      "SELECT 1L AS id, make_timestamp_ntz(2023, 11, 14, 22, 13, 20) AS ts")
+    val a = Tables.normalizeTs(asLong)
+    val b = Tables.normalizeTs(asNtz)
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    val va = a.select(unix_micros(col("ts"))).head.getLong(0)
+    val vb = b.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(va == 1700000000000000L && vb == va)
+  }
 }

@@ -231,6 +231,22 @@ class RetrievalSpec extends AnyFunSuite {
       ((10L, 5L, 9L, 10L)))
   }
 
+  test("source drift: orthogonal sources sit equidistant from the midpoint") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val src = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("vec_id", "source")
+    val got = graft.similarity.VectorAnalytics.sourceDrift(emb, src)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // centroids (1,0) and (0,1); corpus centroid (0.5, 0.5);
+    // drift = sqrt(0.25 + 0.25) = 0.7071 for both
+    assert(got == Seq(("a", 2L, 0.7071), ("b", 2L, 0.7071)))
+  }
+
   test("norm profile flags unit, zero and scaled vectors per label") {
     import spark.implicits._
     val emb = Seq(
