@@ -153,6 +153,31 @@ object Packing {
                 CAST(sum(n_tokens) AS BIGINT) AS doc_tokens
          FROM p GROUP BY 1 ORDER BY bin"""),
 
+    // D96 — output-shard balance audit: every doc hash-assigned to one
+    // of 16 shards (first hex digit of a salted md5 — the same
+    // content-stable family as the D34 shuffle key), reporting docs
+    // and bytes per shard. This is the pre-flight for the write path:
+    // hash sharding is the 100 TB layout default, and this report is
+    // how you prove the layout balanced BEFORE 1000 writers each pick
+    // up a shard (a skewed shard here means a straggler there). One
+    // scan, 16-group aggregate, exact integers end to end.
+    "shard_balance" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(conv(
+            substring(md5(concat(col("doc_id").cast("string"),
+              lit(":shard"))), 1, 1), 16, 10)
+            .cast("int").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("shard"),
+      """SELECT CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                                   1, 1)) - 1 AS INT) AS shard,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY shard"""),
+
     // D46 — sliding-window document chunking (window 64 tokens, stride
     // 48): the long-document split run BEFORE packing so no training
     // sequence truncates a doc mid-thought without overlap coverage.

@@ -269,6 +269,74 @@ object Curate {
          GROUP BY 1, 2
          ORDER BY source_a, source_b"""),
 
+    // D95 — dedup savings in BYTES per source: the chars sitting in
+    // non-representative near-dup members — what dedup actually
+    // deletes from storage and downstream compute. D63 counts dup
+    // DOCS; a feed of many tiny dups and one of few huge ones have
+    // the same dup_rate but very different bills, and this is the
+    // number the bill follows. Same plan as the funnel's dup leg:
+    // label asset → non-reps, doc_id-keyed left join (no broadcast
+    // hint), source-bounded collapse; all sums exact longs.
+    "dedup_savings" -> QueryDef(
+      (s, d) => {
+        val dropped = Clusters.sharedLabels(s, d)
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").as("dup_id"))
+        Tables.documents(s, d).select("doc_id", "source", "n_chars")
+          .join(dropped, col("doc_id") === col("dup_id"), "left")
+          .groupBy("source")
+          .agg(sum("n_chars").as("total_chars"),
+            coalesce(sum(when(col("dup_id").isNotNull, col("n_chars"))),
+              lit(0L)).as("dropped_chars"))
+          .withColumn("savings_frac",
+            when(col("total_chars") > 0,
+              round(col("dropped_chars").cast("double")
+                / col("total_chars"), 4)))
+          .orderBy("source")
+      },
+      """WITH RECURSIVE
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         sym_e AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+           UNION SELECT doc_a, doc_a FROM pairs
+           UNION SELECT doc_b, doc_b FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM sym_e
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym_e s ON r.b = s.a),
+         comp AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+         dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep)
+         SELECT d.source,
+                CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+                CAST(COALESCE(sum(CASE WHEN dp.doc_id IS NOT NULL
+                                       THEN d.n_chars END), 0) AS BIGINT)
+                  AS dropped_chars,
+                CASE WHEN sum(d.n_chars) > 0
+                     THEN round(CAST(COALESCE(sum(CASE WHEN dp.doc_id
+                                                       IS NOT NULL
+                                                  THEN d.n_chars END), 0)
+                                     AS DOUBLE) / sum(d.n_chars), 4) END
+                  AS savings_frac
+         FROM documents d LEFT JOIN dropped dp USING (doc_id)
+         GROUP BY d.source ORDER BY d.source"""),
+
     // D93 — the curation funnel as a per-source observability report:
     // raw → quality-gate survivors → +length gate → dedup survivors
     // (independent) → kept intersection, with the final keep rate.

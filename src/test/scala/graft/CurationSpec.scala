@@ -162,6 +162,38 @@ class CurationSpec extends AnyFunSuite {
     assert(hist == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("dedup savings agrees with the doc-level dup report per source") {
+    val savings = SparkEntry.queries("dedup_savings")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val docTotals = Tables.documents(spark, TestSpark.sf)
+      .groupBy("source").agg(sum("n_chars").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val dupDocs = SparkEntry.queries("dup_rate_by_source")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    savings.foreach { case (src, total, dropped, frac) =>
+      assert(total == docTotals(src))
+      assert(dropped >= 0 && dropped <= total)
+      assert(frac >= 0.0 && frac <= 1.0)
+      // a source with zero dup DOCS must save zero BYTES, and one with
+      // dup docs must save a positive number of bytes
+      if (dupDocs(src) == 0L) assert(dropped == 0L)
+      else assert(dropped > 0L)
+    }
+  }
+
+  test("shard balance covers 16 shards and accounts for every doc") {
+    val rows = SparkEntry.queries("shard_balance")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).forall(s => s >= 0 && s <= 15))
+    val docs = Tables.documents(spark, TestSpark.sf)
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.map(_._3).sum ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+  }
+
   test("span coverage counts corpus-repeated chunks per source") {
     import spark.implicits._
     val shared = (1 to 4).map(i => s"s$i").mkString(" ")
