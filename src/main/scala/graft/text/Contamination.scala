@@ -125,5 +125,50 @@ object Contamination {
                        AS INT) AS b
            FROM documents)
          WHERE b * 100 < rate_pct * 256
-         GROUP BY source, rate_pct ORDER BY source"""))
+         GROUP BY source, rate_pct ORDER BY source"""),
+
+    // D98 — corpus snapshot diff by CONTENT: docs 0–399 play snapshot
+    // A, 400+ snapshot B (the same split convention as D41's
+    // incremental dedup), and the diff is computed over distinct
+    // content hashes per source — added / removed / carried-over text,
+    // regardless of doc_id churn. This is how corpus re-crawls are
+    // audited: a feed whose n_removed spikes between snapshots lost
+    // content (license change, link rot), and id-based diffing cannot
+    // see it because re-crawls reassign ids. One (source, hash)
+    // shuffle with map-side partial agg — the hash side-presence
+    // collapse — then a source-bounded roll-up; exact integers.
+    "corpus_diff" -> QueryDef(
+      (s, d) => {
+        val h = Tables.documents(s, d).select(col("source"),
+          md5(col("text").cast("binary")).as("h"),
+          (col("doc_id") < 400).as("in_a"))
+        h.groupBy("source", "h")
+          .agg(max(when(col("in_a"), lit(1)).otherwise(lit(0))).as("a"),
+            max(when(!col("in_a"), lit(1)).otherwise(lit(0))).as("b"))
+          .groupBy("source")
+          .agg(sum("a").cast("bigint").as("n_hashes_a"),
+            sum("b").cast("bigint").as("n_hashes_b"),
+            sum(when(col("a") === 1 && col("b") === 1, lit(1L))
+              .otherwise(lit(0L))).as("n_common"),
+            sum(when(col("a") === 0 && col("b") === 1, lit(1L))
+              .otherwise(lit(0L))).as("n_added"),
+            sum(when(col("a") === 1 && col("b") === 0, lit(1L))
+              .otherwise(lit(0L))).as("n_removed"))
+          .orderBy("source")
+      },
+      """WITH sides AS (
+           SELECT source, md5(text) AS h,
+                  max(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) AS b
+           FROM documents GROUP BY source, md5(text))
+         SELECT source,
+                CAST(sum(a) AS BIGINT) AS n_hashes_a,
+                CAST(sum(b) AS BIGINT) AS n_hashes_b,
+                CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_common,
+                CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_removed
+         FROM sides GROUP BY source ORDER BY source"""))
 }

@@ -88,6 +88,48 @@ object TextAnalysis {
                 length(text) AS n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // D97 — tokenizer fertility per source: BPE-ish tokens per
+    // whitespace word and chars per BPE-ish token — the cost model a
+    // tokenizer change is judged by (fertility up = same corpus, more
+    // sequence positions, higher training bill), reported where the
+    // decision is made: per feed. Code/symbol-heavy feeds stand out
+    // immediately. Same per-row extraction as D10, collapsed with
+    // exact long sums and two end divisions — nothing floats until
+    // after aggregation, so engines agree by construction. One scan,
+    // source-bounded aggregate.
+    "tokenizer_fertility" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d).select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("nc"))
+          .groupBy("source")
+          .agg(sum("ws").as("ws_tokens"),
+            sum("bpe").as("bpe_tokens"),
+            sum("nc").as("n_chars"))
+          .withColumn("fertility",
+            round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4))
+          .withColumn("chars_per_token",
+            round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+          .orderBy("source"),
+      """SELECT source,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                     AS BIGINT) AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+                  AS bpe_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                round(CAST(sum(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+                      / sum(len(regexp_split_to_array(trim(text), '\s+'))),
+                      4) AS fertility,
+                round(CAST(sum(length(text)) AS DOUBLE)
+                      / sum(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+                  AS chars_per_token
+         FROM documents GROUP BY source ORDER BY source"""),
+
     // D9 — quality scoring: length prior + stopword ratio + symbol
     // penalty, combined in a fixed-order double formula.
     "quality_score" -> QueryDef(

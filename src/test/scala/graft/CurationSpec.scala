@@ -194,6 +194,24 @@ class CurationSpec extends AnyFunSuite {
       docs.agg(sum("n_chars")).head.getLong(0))
   }
 
+  test("corpus diff partitions each side's hashes into common and exclusive") {
+    val rows = SparkEntry.queries("corpus_diff")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, a, b, common, added, removed) =>
+      assert(common + added == b, src)
+      assert(common + removed == a, src)
+    }
+    // side totals must equal the distinct content hashes actually present
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val nA = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")), col("source"))
+      .distinct().count()
+    assert(rows.map(_._2).sum == nA)
+  }
+
   test("span coverage counts corpus-repeated chunks per source") {
     import spark.implicits._
     val shared = (1 to 4).map(i => s"s$i").mkString(" ")

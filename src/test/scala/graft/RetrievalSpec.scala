@@ -247,6 +247,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L, 0.7071), ("b", 2L, 0.7071)))
   }
 
+  test("tokenizer fertility is internally consistent and sums to token_count") {
+    val rows = SparkEntry.queries("tokenizer_fertility")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.foreach { case (src, ws, bpe, nc, fert, cpt) =>
+      assert(ws > 0 && bpe > 0 && nc > 0, src)
+      assert(fert == math.rint(bpe.toDouble / ws * 10000) / 10000)
+      assert(cpt == math.rint(nc.toDouble / bpe * 10000) / 10000)
+    }
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    val tc = SparkEntry.queries("token_count")(spark, TestSpark.sf)
+      .agg(sqlSum("ws_tokens"), sqlSum("bpe_tokens")).head
+    assert(rows.map(_._2).sum == tc.getLong(0))
+    assert(rows.map(_._3).sum == tc.getLong(1))
+  }
+
   test("norm profile flags unit, zero and scaled vectors per label") {
     import spark.implicits._
     val emb = Seq(
