@@ -28,21 +28,30 @@ object Curate {
     */
   def sourceMatrix(docs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pairMatrix(docs, pairs, "source")
+
+  /** Generalized D87/D100 core — near-dup pairs bucketed by the
+    * unordered pair of any doc attribute (source, lang, …). Output
+    * columns are `<attr>_a`, `<attr>_b`, n_pairs, mean_jaccard.
+    */
+  def pairMatrix(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, attr: String)
       : org.apache.spark.sql.DataFrame = {
-    val src = docs.select("doc_id", "source")
+    val src = docs.select(col("doc_id"), col(attr))
     pairs
       .join(src.select(col("doc_id").as("doc_a"),
-        col("source").as("_sa")), "doc_a")
+        col(attr).as("_sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"),
-        col("source").as("_sb")), "doc_b")
-      .groupBy(least(col("_sa"), col("_sb")).as("source_a"),
-        greatest(col("_sa"), col("_sb")).as("source_b"))
+        col(attr).as("_sb")), "doc_b")
+      .groupBy(least(col("_sa"), col("_sb")).as(s"${attr}_a"),
+        greatest(col("_sa"), col("_sb")).as(s"${attr}_b"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(round(col("jaccard") * 10000, 0).cast("long")).as("_sj"))
-      .select(col("source_a"), col("source_b"), col("n_pairs"),
+      .select(col(s"${attr}_a"), col(s"${attr}_b"), col("n_pairs"),
         round(col("_sj") / (lit(10000.0) * col("n_pairs")), 4)
           .as("mean_jaccard"))
-      .orderBy("source_a", "source_b")
+      .orderBy(s"${attr}_a", s"${attr}_b")
   }
 
   /** The curated keep-set (doc_id, n_tokens, quality): quality ∧
@@ -268,6 +277,54 @@ object Curate {
          JOIN documents db ON p.doc_b = db.doc_id
          GROUP BY 1, 2
          ORDER BY source_a, source_b"""),
+
+    // D100 — cross-LANGUAGE duplication matrix: the lang-attributed
+    // twin of D87. Lexical 3-gram near-dups across two declared
+    // languages are structurally suspect — real translations share no
+    // shingles, so off-diagonal mass here means either mislabeled
+    // lang metadata (cross-check D85's confusion matrix) or shared
+    // untranslated boilerplate (navigation chrome, license blocks)
+    // that lang-stratified dedup would MISS by construction: exactly
+    // the pairs you must not shard away when partitioning dedup by
+    // language at 100 TB. Same plan as D87 via the shared pairMatrix
+    // core; exact-integer mean discipline included.
+    "dup_lang_matrix" -> QueryDef(
+      (s, d) => pairMatrix(Tables.documents(s, d),
+        Dedup.sharedPairs(s, d), "lang"),
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) AS shingles
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT doc_a, doc_b,
+                  round(common * 1.0 / (na + nb - common), 4) AS jaccard
+           FROM cand
+           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+         SELECT least(da.lang, db.lang) AS lang_a,
+                greatest(da.lang, db.lang) AS lang_b,
+                count(*) AS n_pairs,
+                round(sum(CAST(round(jaccard * 10000, 0) AS BIGINT))
+                      / (10000.0 * count(*)), 4) AS mean_jaccard
+         FROM pairs p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+         GROUP BY 1, 2
+         ORDER BY lang_a, lang_b"""),
 
     // D95 — dedup savings in BYTES per source: the chars sitting in
     // non-representative near-dup members — what dedup actually

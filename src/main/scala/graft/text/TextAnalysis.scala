@@ -88,6 +88,55 @@ object TextAnalysis {
                 length(text) AS n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // D99 — quality-filter bias audit per declared language: doc
+    // count, mean quality, and the pass rate at the curation
+    // threshold (0.5) for each lang. A quality formula tuned on one
+    // language silently starves others (stopword lists are
+    // language-specific!) — this is the report that catches the bias
+    // before the mix ships. The mean is computed from lossless
+    // ×10000 integer sums of the 4 dp-rounded per-doc score (the
+    // D87 discipline — an avg() over doubles can round differently
+    // between engines at a 4 dp boundary); one scan, lang-bounded
+    // collapse.
+    "quality_by_lang" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), qualityCol.as("q"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(round(col("q") * 10000, 0).cast("long")).as("_sq"),
+            sum(when(col("q") >= 0.5, lit(1L)).otherwise(lit(0L)))
+              .as("n_pass"))
+          .select(col("lang"), col("n_docs"),
+            round(col("_sq") / (lit(10000.0) * col("n_docs")), 4)
+              .as("mean_quality"),
+            col("n_pass"),
+            round(col("n_pass").cast("double") / col("n_docs"), 4)
+              .as("pass_rate"))
+          .orderBy("lang"),
+      """WITH scored AS (
+           SELECT lang,
+                  round(0.4 * least(CAST(len(regexp_split_to_array(
+                          trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(len(list_filter(
+                            regexp_split_to_array(trim(text), '\s+'),
+                            x -> x IN ('the','a','of','and','to','in','is')))
+                            AS DOUBLE)
+                          / len(regexp_split_to_array(trim(text), '\s+')))
+                        + 0.2 * (1.0 - CAST(length(regexp_replace(text,
+                            '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                            / length(text)),
+                        4) AS q
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                round(sum(CAST(round(q * 10000, 0) AS BIGINT))
+                      / (10000.0 * count(*)), 4) AS mean_quality,
+                CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass,
+                round(CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 4) AS pass_rate
+         FROM scored GROUP BY lang ORDER BY lang"""),
+
     // D97 — tokenizer fertility per source: BPE-ish tokens per
     // whitespace word and chars per BPE-ish token — the cost model a
     // tokenizer change is judged by (fertility up = same corpus, more

@@ -131,6 +131,36 @@ class CurationSpec extends AnyFunSuite {
       ("feedA", "feedB", 1L, 0.8)))
   }
 
+  test("pair matrix generalizes to any attribute: lang off-diagonal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en"), (2L, "de"), (3L, "en"), (4L, "en")
+    ).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.text.Curate.pairMatrix(docs, pairs, "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // cross-lang lexical near-dup = boilerplate or mislabel signal
+    assert(got == Seq(("de", "en", 1L, 0.9), ("en", "en", 1L, 0.7)))
+  }
+
+  test("quality-by-lang pass rates are consistent and cover every lang") {
+    val rows = SparkEntry.queries("quality_by_lang")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    val nLangs = Tables.documents(spark, TestSpark.sf)
+      .select("lang").distinct().count()
+    assert(rows.length == nLangs)
+    rows.foreach { case (lang, n, mq, nPass, rate) =>
+      assert(mq >= 0.0 && mq <= 1.0, lang)
+      assert(nPass <= n)
+      assert(rate == math.rint(nPass.toDouble / n * 10000) / 10000)
+    }
+  }
+
   test("curation funnel attributes losses to the right stage per source") {
     import spark.implicits._
     val stop100 = Seq.fill(100)("the").mkString(" ") // quality 1.0
