@@ -75,11 +75,16 @@ object LexStats {
             (acc.getField("sxx") + p.getField("x") * p.getField("x"))
               .as("sxx"))).as("s"))
       .withColumn("_slope",
-        (col("k") * col("s.sxy") - col("s.sx") * col("s.sy")) /
-          (col("k") * col("s.sxx") - col("s.sx") * col("s.sx")))
+        // k ≤ 1 leaves the OLS denominator at 0: Spark's 0/0 is NaN
+        // where DuckDB's is NULL, so the degenerate-spectrum case is
+        // guarded explicitly (mirrored as CASE WHEN in the oracle)
+        when(col("k") > 1,
+          (col("k") * col("s.sxy") - col("s.sx") * col("s.sy")) /
+            (col("k") * col("s.sxx") - col("s.sx") * col("s.sx"))))
       .select(col("k").cast("bigint").as("k_terms"),
         round(col("_slope"), 4).as("zipf_slope"),
-        round((col("s.sy") - col("_slope") * col("s.sx")) / col("k"), 4)
+        when(col("k") > 1,
+          round((col("s.sy") - col("_slope") * col("s.sx")) / col("k"), 4))
           .as("intercept"))
   }
 
@@ -315,9 +320,12 @@ object LexStats {
                             for i in range(1, len(a) + 1)]) AS sxx
            FROM arr)
          SELECT CAST(k AS BIGINT) AS k_terms,
-                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
-                  AS zipf_slope,
-                round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
-                      / k, 4) AS intercept
+                CASE WHEN k > 1
+                     THEN round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                END AS zipf_slope,
+                CASE WHEN k > 1
+                     THEN round((sy - ((k * sxy - sx * sy)
+                                       / (k * sxx - sx * sx)) * sx) / k, 4)
+                END AS intercept
          FROM sums"""))
 }

@@ -42,6 +42,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(stats.toSeq == Seq((1L, 1L)))
   }
 
+  test("round-6 diagnostics return empty (not throw) on an empty corpus") {
+    val docs = emptyDocs
+    assert(CorpusIndex.spanCoverage(docs, 16).count() == 0)
+    assert(graft.text.CorpusStats.lengthQuantiles(docs).count() == 0)
+    assert(Dedup.bandProfile(docs).count() == 0)
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.similarity.VectorAnalytics.normProfile(emptyEmb).count() == 0)
+  }
+
+  test("zipf fit on a single-term corpus reports k=1 with NULL slope") {
+    import spark.implicits._
+    val docs = Seq((1L, "word word word")).toDF("doc_id", "text")
+    val r = graft.text.LexStats.zipfFit(docs).collect().head
+    // one spectrum point cannot determine a slope: both engines must
+    // agree on NULL (Spark would otherwise emit NaN from 0/0)
+    assert(r.getLong(0) == 1L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("normalizeTs maps nanos-as-long and NTZ encodings to one instant") {
     import spark.implicits._
     import org.apache.spark.sql.types.TimestampType
