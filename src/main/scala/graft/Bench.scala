@@ -130,7 +130,10 @@ object Bench {
     var entryIdx = 0
     def withSentinel(name: String, t: Double): (String, Double) = {
       entryIdx += 1
-      if (entryIdx % sentinelEvery == 0) sentinelOnce(entryIdx)
+      // sentinelEvery <= 0 means "interleaved readings off" (the
+      // bracketing start/end probes still run); also avoids % 0
+      if (sentinelEvery > 0 && entryIdx % sentinelEvery == 0)
+        sentinelOnce(entryIdx)
       name -> t
     }
     // warm the probe's own codegen untimed — otherwise reading #0

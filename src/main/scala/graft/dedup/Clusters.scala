@@ -158,10 +158,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -206,10 +211,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -262,10 +272,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -319,10 +334,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -386,10 +406,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -443,10 +468,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -550,10 +580,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -592,10 +627,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT round(common * 1.0 / (na + nb - common), 4) AS jaccard
@@ -641,10 +681,15 @@ object Clusters {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand

@@ -256,8 +256,14 @@ object Dedup {
   def bandProfile(docs: DataFrame,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val rows = numHashes / bands
-    val sig = withShingles(docs).select(col("doc_id"),
-      HashOps.minhash(col("shingles"), numHashes).as("sig"))
+    // drop docs with no shingles (<3 tokens): their empty sets all
+    // minhash to the same all-MaxValue sentinel signature, which would
+    // collide them in EVERY band as fake bucket mass — and the oracle's
+    // signature chain (len(t) >= 3) never sees them
+    val sig = withShingles(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        HashOps.minhash(col("shingles"), numHashes).as("sig"))
     val banded = sig.select(
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))

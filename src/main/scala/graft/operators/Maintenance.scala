@@ -144,13 +144,17 @@ object Maintenance {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch {
-          case _: NumberFormatException => out.append(c); i += 1
-        }
+      // both escape chars must be literal hex digits: parseInt alone
+      // also accepts signed forms ("%+3"/"%-5"), which would decode
+      // malformed names into control chars that sort BELOW the cutoff
+      // and get a merely-misnamed partition deleted
+      def isHex(ch: Char) =
+        (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+          (ch >= 'A' && ch <= 'F')
+      if (c == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
       } else { out.append(c); i += 1 }
     }
     out.toString

@@ -314,7 +314,6 @@ object TimeOps {
       """SELECT event_type,
                 count(DISTINCT user_id) AS exact_users,
                 count(*) AS n,
-                CASE WHEN count(DISTINCT user_id) >= 0 THEN true END
-                  AS hll_within_5pct
+                true AS hll_within_5pct
          FROM events GROUP BY event_type ORDER BY event_type"""))
 }

@@ -24,13 +24,21 @@ object VectorAnalytics {
       .select(col("label"), nrm.as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg("nrm"), 4).as("mean_norm"),
+        // mean from lossless ×10000 integer sums of the 4 dp-rounded
+        // norm (the D87 discipline): an avg() over raw doubles sums in
+        // partition order and can round differently between engines at
+        // a 4 dp boundary; the integer sum is order-independent
+        sum(round(col("nrm") * 10000, 0).cast("long")).as("_sn"),
         round(min("nrm"), 4).as("min_norm"),
         round(max("nrm"), 4).as("max_norm"),
         sum(when(abs(col("nrm") - 1.0) <= 0.01, lit(1L))
           .otherwise(lit(0L))).as("n_unit"),
         sum(when(col("nrm") < 1e-6, lit(1L)).otherwise(lit(0L)))
           .as("n_zero"))
+      .select(col("label"), col("n_vecs"),
+        round(col("_sn") / (lit(10000.0) * col("n_vecs")), 4)
+          .as("mean_norm"),
+        col("min_norm"), col("max_norm"), col("n_unit"), col("n_zero"))
       .orderBy("label")
   }
 
@@ -425,7 +433,8 @@ object VectorAnalytics {
                                  for i in range(1, 65)])) AS nrm
            FROM embeddings)
          SELECT label, count(*) AS n_vecs,
-                round(avg(nrm), 4) AS mean_norm,
+                round(sum(CAST(round(nrm * 10000, 0) AS BIGINT))
+                      / (10000.0 * count(*)), 4) AS mean_norm,
                 round(min(nrm), 4) AS min_norm,
                 round(max(nrm), 4) AS max_norm,
                 CAST(sum(CASE WHEN abs(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)

@@ -143,10 +143,15 @@ object Curate {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -197,10 +202,15 @@ object Curate {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -361,10 +371,15 @@ object Curate {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -428,10 +443,15 @@ object Curate {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand
@@ -511,10 +531,15 @@ object Curate {
                                  for i in range(1, len(t) - 1)]) AS shingles
            FROM toks WHERE len(t) >= 3),
          ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         hot AS (
+           SELECT s FROM ex GROUP BY s
+           HAVING count(*) > greatest(1000,
+             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (
            SELECT doc_a, doc_b FROM cand

@@ -161,6 +161,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(operators.Maintenance.unescapePartitionValue("2024%2D01%3A05")
       == "2024-01:05")
     assert(operators.Maintenance.unescapePartitionValue("a%G1%2") == "a%G1%2")
+    // signed forms are NOT valid escapes even though parseInt accepts
+    // them — decoding them to control chars would let a malformed name
+    // sort below the cutoff and be deleted
+    assert(operators.Maintenance.unescapePartitionValue("x%+3y") == "x%+3y")
+    assert(operators.Maintenance.unescapePartitionValue("x%-5y") == "x%-5y")
   }
 
   test("foreachBatch sink maintains an upserted KV snapshot per micro-batch") {
