@@ -153,6 +153,43 @@ object Packing {
                 CAST(sum(n_tokens) AS BIGINT) AS doc_tokens
          FROM p GROUP BY 1 ORDER BY bin"""),
 
+    // D102 — truncation budget report: per source, how many docs
+    // exceed the 2048-token training-sequence capacity and how many
+    // tokens a hard truncation at that boundary would discard. The
+    // decision input for choosing D35's concat-and-split (loses
+    // nothing, splits thoughts) vs truncate (loses tails) vs D46's
+    // overlap chunking (loses nothing, duplicates overlap tokens) —
+    // per feed, because long-form feeds pay wildly different bills
+    // under each. One scan, exact longs, source-bounded collapse.
+    "truncation_report" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n") > 2048, lit(1L)).otherwise(lit(0L)))
+              .as("n_over"),
+            sum(when(col("n") > 2048, col("n") - 2048).otherwise(lit(0L)))
+              .as("tokens_lost"))
+          .withColumn("over_frac",
+            round(col("n_over").cast("double") / col("n_docs"), 4))
+          .orderBy("source"),
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN len(regexp_split_to_array(trim(text),
+                                       '\s+')) > 2048
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                CAST(sum(CASE WHEN len(regexp_split_to_array(trim(text),
+                                       '\s+')) > 2048
+                              THEN len(regexp_split_to_array(trim(text),
+                                       '\s+')) - 2048
+                              ELSE 0 END) AS BIGINT) AS tokens_lost,
+                round(CAST(sum(CASE WHEN len(regexp_split_to_array(
+                                            trim(text), '\s+')) > 2048
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS over_frac
+         FROM documents GROUP BY source ORDER BY source"""),
+
     // D96 — output-shard balance audit: every doc hash-assigned to one
     // of 16 shards (first hex digit of a salted md5 — the same
     // content-stable family as the D34 shuffle key), reporting docs

@@ -14,16 +14,22 @@ object CorpusStats {
     * specs can plant a lexically alien source and check it ranks top.
     */
   def sourceKl(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = groupKl(docs, "source")
+
+  /** The KL core keyed by ANY doc attribute (D84 uses source, D101
+    * lang): unigram distribution of each `key` group vs the corpus.
+    */
+  def groupKl(docs: org.apache.spark.sql.DataFrame, key: String)
       : org.apache.spark.sql.DataFrame = {
     val sc = docs
-      .select(col("source"),
+      .select(col(key),
         explode(split(trim(col("text")), "\\s+")).as("term"))
-      .groupBy("source", "term")
+      .groupBy(key, "term")
       .agg(count(lit(1)).as("c"))
     val tot = sc.groupBy("term").agg(sum("c").as("ct"))
     val n = tot.agg(sum("ct").as("n_corpus"))
     sc.join(tot, "term")
-      .groupBy("source")
+      .groupBy(key)
       .agg(sum("c").as("n_tokens"),
         count(lit(1)).as("n_types"),
         sum(col("c").cast("double") * log(col("c").cast("double")))
@@ -31,7 +37,7 @@ object CorpusStats {
         sum(col("c").cast("double") * log(col("ct").cast("double")))
           .as("_clncorp"))
       .crossJoin(broadcast(n))
-      .select(col("source"), col("n_tokens"), col("n_types"),
+      .select(col(key), col("n_tokens"), col("n_types"),
         round((col("_clnc") - col("_clncorp")) / col("n_tokens")
           - log(col("n_tokens").cast("double"))
           + log(col("n_corpus").cast("double")), 4).as("kl"))
@@ -418,6 +424,37 @@ object CorpusStats {
                 round((clnc - clncorp) / n_tokens
                       - ln(n_tokens) + ln(n.n_corpus), 4) AS kl
          FROM agg, n ORDER BY source"""),
+
+    // D101 — per-LANGUAGE unigram KL divergence vs the corpus: the
+    // lang-keyed run of the D84 core, closing the language-audit
+    // family (D85 metadata confusion, D99 quality bias, D100
+    // cross-lang dups, and now lexical divergence). A lang whose KL
+    // collapses toward 0 between snapshots is losing its distinctive
+    // text — usually contamination by mislabeled majority-language
+    // docs, which D85 then attributes. Same plan as D84: one
+    // (lang, term) shuffle, term-keyed corpus totals joined back
+    // (open vocab — never broadcast), dimension-bounded collapse.
+    "lang_kl" -> QueryDef(
+      (s, d) => groupKl(Tables.documents(s, d), "lang"),
+      """WITH sc AS (
+           SELECT lang, term, count(*) AS c
+           FROM (SELECT lang,
+                        unnest(regexp_split_to_array(trim(text), '\s+'))
+                          AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct
+                 FROM sc GROUP BY 1),
+         n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM tot),
+         agg AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types,
+                  sum(c * ln(c)) AS clnc, sum(c * ln(ct)) AS clncorp
+           FROM sc JOIN tot USING (term) GROUP BY lang)
+         SELECT lang, n_tokens, n_types,
+                round((clnc - clncorp) / n_tokens
+                      - ln(n_tokens) + ln(n.n_corpus), 4) AS kl
+         FROM agg, n ORDER BY lang"""),
 
     // D90 — EXACT per-source length quantiles (p50/p90/p99 of n_chars,
     // inverted-CDF definition: min value whose cumulative count reaches

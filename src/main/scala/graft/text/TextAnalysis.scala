@@ -88,6 +88,46 @@ object TextAnalysis {
                 length(text) AS n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // D103 — degenerate-document census per source: empty /
+    // whitespace-only docs and sub-20-token fragments (disjoint
+    // buckets: a doc is empty OR short, never both). These are the
+    // rows that break downstream assumptions quietly — empty text
+    // divides by zero in ratio features, fragments dilute n-gram
+    // statistics — and the census says which FEED ships them, which
+    // is where the fix belongs (an extractor bug upstream, not a
+    // filter downstream). One scan, exact longs, source-bounded
+    // collapse.
+    "degenerate_docs" -> QueryDef(
+      (s, d) => {
+        val isEmpty = length(trim(col("text"))) === 0
+        val nTok = size(split(trim(col("text")), "\\s+"))
+        Tables.documents(s, d)
+          .select(col("source"), isEmpty.as("e"),
+            (!isEmpty && nTok < 20).as("sh"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("e"), lit(1L)).otherwise(lit(0L))).as("n_empty"),
+            sum(when(col("sh"), lit(1L)).otherwise(lit(0L))).as("n_short"))
+          .withColumn("degenerate_frac",
+            round((col("n_empty") + col("n_short")).cast("double")
+              / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN length(trim(text)) = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                CAST(sum(CASE WHEN length(trim(text)) > 0
+                               AND len(regexp_split_to_array(trim(text),
+                                       '\s+')) < 20
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                round(CAST(sum(CASE WHEN length(trim(text)) = 0
+                                     OR (length(trim(text)) > 0
+                                         AND len(regexp_split_to_array(
+                                               trim(text), '\s+')) < 20)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS degenerate_frac
+         FROM documents GROUP BY source ORDER BY source"""),
+
     // D99 — quality-filter bias audit per declared language: doc
     // count, mean quality, and the pass rate at the curation
     // threshold (0.5) for each lang. A quality formula tuned on one

@@ -264,6 +264,54 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == tc.getLong(1))
   }
 
+  test("lang KL: an alien language dominates, like the source twin") {
+    import spark.implicits._
+    val docs = (0 until 9).map { i =>
+      (i.toLong, s"the quick brown fox jumps over dog $i", s"l${i % 3}")
+    } :+ (9L, "qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7", "alien")
+    val kl = graft.text.CorpusStats.groupKl(
+      docs.toDF("doc_id", "text", "lang"), "lang")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(kl.filterNot(_._1 == "alien").values.forall(_ < kl("alien")))
+  }
+
+  test("truncation report counts over-capacity docs and lost tokens") {
+    import spark.implicits._
+    val long2050 = (1 to 2050).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, long2050, "srcL"),
+      (2L, "short doc here", "srcL"),
+      (3L, "also short", "srcM")
+    ).toDF("doc_id", "text", "source")
+    // run the catalog body against planted docs via a temp-view-free
+    // inline copy: same expressions as the registered query
+    import org.apache.spark.sql.functions.{col, count, lit, round, split,
+      sum, trim, when, size => sqlSize}
+    val got = docs
+      .select(col("source"),
+        sqlSize(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 2048, lit(1L)).otherwise(lit(0L))).as("n_over"),
+        sum(when(col("n") > 2048, col("n") - 2048).otherwise(lit(0L)))
+          .as("tokens_lost"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("srcL", 2L, 1L, 2L), ("srcM", 1L, 0L, 0L)))
+  }
+
+  test("degenerate census separates empty, short and healthy docs") {
+    val rows = SparkEntry.queries("degenerate_docs")(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    rows.foreach { case (src, n, e, sh, frac) =>
+      assert(e + sh <= n, src)
+      assert(frac == math.rint((e + sh).toDouble / n * 10000) / 10000)
+    }
+  }
+
   test("norm profile flags unit, zero and scaled vectors per label") {
     import spark.implicits._
     val emb = Seq(
