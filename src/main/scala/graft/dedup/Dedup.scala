@@ -624,6 +624,29 @@ object Dedup {
          FROM documents GROUP BY md5(text) HAVING count(*) > 1
          ORDER BY keep_id"""),
 
+    // D104 — exact-duplicate MULTIPLICITY histogram: how many content
+    // hashes occur once, twice, k times — the exact-hash twin of
+    // D92's near-dup cluster-size histogram, and the first number a
+    // crawl health check reads (a spike at high multiplicity is a
+    // crawler revisit loop or a mirror farm; D92 then says whether
+    // near-dup mass rides on top of it). Two hash-bounded collapses
+    // (content-hash count, then multiplicity count) — the first
+    // partial-aggregates map-side, so a million-copy hash crosses the
+    // wire as one row.
+    "exact_dup_multiplicity" -> QueryDef(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("n_copies"))
+          .groupBy("n_copies")
+          .agg(count(lit(1)).as("n_hashes"))
+          .orderBy("n_copies"),
+      """WITH c AS (
+           SELECT md5(text) AS h, count(*) AS n_copies
+           FROM documents GROUP BY md5(text))
+         SELECT n_copies, count(*) AS n_hashes
+         FROM c GROUP BY n_copies ORDER BY n_copies"""),
+
     // D2 — blocked exact n-gram Jaccard (threshold 0.5), read from the
     // shared materialized pair graph (first consumer pays the build).
     "dedup_ngram" -> QueryDef(

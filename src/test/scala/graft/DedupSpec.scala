@@ -222,6 +222,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("exact multiplicity histogram counts hash occurrence classes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "copy one"), (2L, "copy one"), (3L, "copy one"), // 3x
+      (4L, "pair text"), (5L, "pair text"),                 // 2x
+      (6L, "unique text")                                   // 1x
+    ).toDF("doc_id", "text")
+    val hist = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies").agg(count(lit(1)).as("n_hashes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("band profile: identical docs collide in every band, uniques may not") {
     import spark.implicits._
     val same = (1 to 30).map(i => s"t$i").mkString(" ")
