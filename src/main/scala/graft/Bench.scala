@@ -100,49 +100,87 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Drift sentinel: a fixed-size CPU-bound probe (range + modulo sum,
-    // no input data, no shuffle) timed before the loop, after every
-    // `sentinelEvery` catalog entries, and at the end. Catalog timings
-    // alone cannot distinguish "this query regressed" from "the host
-    // was busy during those minutes" (round 5's official bench had 4
-    // per-query 5-40x blowups on zero-shuffle queries for exactly that
-    // reason). The sentinel's cost is constant by construction, so
-    // spread in ITS readings is host noise by definition — a blown-up
-    // query whose neighboring sentinel readings are quiet is a real
-    // regression; one bracketed by elevated sentinels is load.
+    // Drift sentinels: two fixed-size probes (no input data, no real
+    // shuffle) timed before the loop, after every `sentinelEvery`
+    // catalog entries, after EVERY shared-asset build line, and at the
+    // end. Catalog timings alone cannot distinguish "this query
+    // regressed" from "the host was busy during those minutes" (round
+    // 5's official bench had 4 per-query 5-40x blowups on zero-shuffle
+    // queries for exactly that reason). Each probe's cost is constant
+    // by construction, so spread in ITS readings is host interference
+    // by definition. Two probes because one cannot decide the round-6
+    // open question (CPU quota throttling vs scheduler contention):
+    //  - "sched": a trivial range-sum job — dominated by task launch /
+    //    scheduling latency, nearly free of sustained CPU. Elevated
+    //    readings mean the scheduler/threads are being preempted.
+    //  - "cpu": a chained-md5 fold sized to keep every worker thread
+    //    pinned for ~0.2 s — dominated by sustained CPU throughput.
+    //    Elevated "cpu" with quiet "sched" is the signature of a
+    //    CPU-quota'd sandbox (cgroup throttling lets short scheduler
+    //    round-trips through but stretches compute), which round 6
+    //    could not distinguish from a real regression.
+    // Decision rule for a blown-up catalog entry: both neighbors quiet
+    // → real regression; sched elevated → host load; cpu elevated,
+    // sched quiet → CPU throttling. The full (index, sched, cpu)
+    // series goes to BENCH_FULL.json.
     val sentinelEvery =
       sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "8").toInt
-    val sentinels = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val sentinels = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    def probeSched(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeCpu(): Double = {
+      // fixed work: cpus partitions x 40k rows x 6 chained md5s keeps
+      // all worker threads busy ~0.2 s on an unthrottled host; wall
+      // time scales ~linearly with any CPU quota below `cpus` cores
+      val t0 = System.nanoTime()
+      spark.range(0L, 60000L * cpus.toInt, 1L, cpus.toInt)
+        .selectExpr(
+          "sum(length(md5(md5(md5(md5(md5(md5(cast(id*2654435761 as string))))))))) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def sentinelOnce(afterEntry: Int): Unit = {
-      // each reading is the median of 3 probe runs: a single run of a
-      // ~0.2 s job still varies several-fold with thread scheduling
-      // (round-6 observed 0.05-0.33 s on a quiet host), which would
-      // make the sentinel itself the noisiest line in the artifact
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0L, 100000000L, 1L, cpus.toInt)
-          .selectExpr("sum(id % 7) AS s")
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      sentinels += (afterEntry -> runs.sorted.apply(1))
+      // sched reading = median of 3 runs: a single run of a ~0.1 s job
+      // varies several-fold with thread scheduling (round-6 observed
+      // 0.05-0.33 s on a quiet host), which would make the sentinel
+      // itself the noisiest line in the artifact.
+      // cpu reading = MIN of 3 runs: the probe measures sustained CPU
+      // capability, and one-off GC/scheduling hiccups only ever inflate
+      // a run — min filters them — while a cgroup CPU quota inflates
+      // every run including the min. Median would re-import the
+      // scheduler noise the second probe exists to factor out.
+      def med3(f: () => Double): Double =
+        (1 to 3).map(_ => f()).sorted.apply(1)
+      def min3(f: () => Double): Double = (1 to 3).map(_ => f()).min
+      sentinels += ((afterEntry, med3(() => probeSched()), min3(() => probeCpu())))
     }
     var entryIdx = 0
-    def withSentinel(name: String, t: Double): (String, Double) = {
+    def withSentinel(name: String, t: Double, always: Boolean = false)
+        : (String, Double) = {
       entryIdx += 1
       // sentinelEvery <= 0 means "interleaved readings off" (the
-      // bracketing start/end probes still run); also avoids % 0
-      if (sentinelEvery > 0 && entryIdx % sentinelEvery == 0)
+      // bracketing start/end probes still run); also avoids % 0.
+      // `always` forces a reading regardless of position — used after
+      // every shared-asset build line: the six builds are the most
+      // expensive segment of the run (~4 min at sf0.1 in round 6's
+      // driver artifact) and previously ran with zero probe coverage.
+      if (always || (sentinelEvery > 0 && entryIdx % sentinelEvery == 0))
         sentinelOnce(entryIdx)
       name -> t
     }
-    // warm the probe's own codegen untimed — otherwise reading #0
+    // warm the probes' own codegen untimed — otherwise reading #0
     // carries JVM warmup and fakes a high spread on a quiet host
     sentinelOnce(-1); sentinels.clear()
     sentinelOnce(0)
     val buildResults = sharedAssetBuilds
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => withSentinel(name, runOnce(name, fn)) }
+      .map { case (name, fn) =>
+        withSentinel(name, runOnce(name, fn), always = true) }
     val results = buildResults ++ selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn))
       withSentinel(name, if (times.exists(_ < 0)) -1.0 else median(times))
@@ -156,19 +194,23 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.filter(_._2 < 0)
     val total = ok.map(_._2).sum
-    // sentinel summary: spread = max/min. A quiet host sits near 1.0;
-    // round 5's contended window would have shown >5. The full list of
-    // (after-entry-index, seconds) readings goes to BENCH_FULL.json so
-    // a specific blown-up query can be checked against the sentinel
-    // readings that bracket its position in the run.
-    val sTimes = sentinels.map(_._2)
+    // sentinel summary: spread = max/min per probe. A quiet host sits
+    // near 1.0; round 5's contended window would have shown >5. The
+    // full list of (after-entry-index, sched-sec, cpu-sec) readings
+    // goes to BENCH_FULL.json so a specific blown-up query can be
+    // checked against the two probe readings that bracket its position
+    // in the run (see the decision rule above).
+    def probeSummary(ts: Seq[Double]): String =
+      s"""{"n":${ts.size},"median":${fmt(median(ts))},""" +
+        s""""min":${fmt(ts.min)},"max":${fmt(ts.max)},""" +
+        s""""spread":${fmt(ts.max / math.max(ts.min, 1e-9))}}"""
     val sentinelSummary =
-      s"""{"every":$sentinelEvery,"n":${sTimes.size},""" +
-        s""""median":${fmt(median(sTimes.toSeq))},""" +
-        s""""min":${fmt(sTimes.min)},"max":${fmt(sTimes.max)},""" +
-        s""""spread":${fmt(sTimes.max / math.max(sTimes.min, 1e-9))}}"""
+      s"""{"every":$sentinelEvery,""" +
+        s""""sched":${probeSummary(sentinels.map(_._2).toSeq)},""" +
+        s""""cpu":${probeSummary(sentinels.map(_._3).toSeq)}}"""
     val sentinelFull = sentinels
-      .map { case (i, t) => s"[$i,${fmt(t)}]" }.mkString("[", ",", "]")
+      .map { case (i, s, c) => s"[$i,${fmt(s)},${fmt(c)}]" }
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"failures":${failed.size},""" +
