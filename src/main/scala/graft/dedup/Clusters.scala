@@ -161,7 +161,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -214,7 +214,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -275,7 +275,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -337,7 +337,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -409,7 +409,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -471,7 +471,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -583,7 +583,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -630,7 +630,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -684,7 +684,7 @@ object Clusters {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,

@@ -665,7 +665,7 @@ object Dedup {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -698,7 +698,7 @@ object Dedup {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -756,8 +756,8 @@ object Dedup {
          hot AS (
            SELECT s FROM ex WHERE doc_id < 400 GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents WHERE doc_id < 400)
-                  * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents WHERE doc_id < 400)
+                  * 0.001) AS BIGINT))),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb

@@ -46,6 +46,18 @@ object VectorAnalytics {
     * over (vec_id, embedding) tagged by a (vec_id, source) frame.
     * Factored out so specs can plant orthogonal sources with a known
     * midpoint centroid.
+    *
+    * Cross-engine determinism caveat (matches the D16/D33 centroid
+    * family): the per-dimension `round(avg, 4)` runs over raw doubles
+    * whose partial-sum order differs between Spark (partition tree)
+    * and DuckDB (sequential), so an average landing exactly on a 4 dp
+    * boundary can round apart. The source vectors are Float32 (~7
+    * significant digits), so a 1-ulp sum difference moving a 4th
+    * decimal requires the mean's 5th decimal to be exactly 5 at
+    * double precision — not observed across sf0.001–sf1 gate runs. If
+    * it ever bites, the exact fix is the D89 discipline: sum each
+    * dimension as ×10⁴-scaled integers (Float32 embeddings are exact
+    * there), divide once at the end.
     */
   def sourceDrift(embRaw: org.apache.spark.sql.DataFrame,
       src: org.apache.spark.sql.DataFrame)

@@ -146,7 +146,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -205,7 +205,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -265,7 +265,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -313,7 +313,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -374,7 +374,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -446,7 +446,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
@@ -534,7 +534,7 @@ object Curate {
          hot AS (
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST((SELECT count(*) FROM documents) * 0.001 AS BIGINT))),
+             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
          exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
          cand AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,

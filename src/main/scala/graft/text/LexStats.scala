@@ -306,7 +306,8 @@ object LexStats {
            SELECT term, count(*) AS n FROM toks WHERE term <> ''
            GROUP BY term),
          top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 100),
-         arr AS (SELECT list(CAST(n AS DOUBLE) ORDER BY n DESC, term) AS a
+         arr AS (SELECT coalesce(list(CAST(n AS DOUBLE) ORDER BY n DESC, term),
+                                 CAST([] AS DOUBLE[])) AS a
                  FROM top),
          sums AS (
            SELECT len(a) AS k,
