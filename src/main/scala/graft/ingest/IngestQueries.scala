@@ -261,6 +261,84 @@ object IngestQueries {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
          GROUP BY 1, 2 ORDER BY year, month"""),
 
+    // A27 — the reference's ACTUAL catalog topology: terraform/main.tf
+    // registers FOUR Glue tables, one per Firehose sink, and
+    // athena_sql_query_examples/OrderAndClientDetails.sql joins TWO of
+    // them BY NAME (orders ⋈ shipping_addresses ON order_id). A26
+    // proves single-table registration; this entry lands all four
+    // fan-out sinks, registers each as an external partitioned table
+    // (STRING partition keys served verbatim, MSCK partition
+    // discovery — the crawler analog), and runs the reference's
+    // two-table join through the SQL surface by table name with the
+    // reference's exact projection. The oracle is the path-free flat
+    // SQL (orders⋈customer⋈nation), so a partition either sink's
+    // discovery misses — or a row mis-landed by either write — breaks
+    // the hash. Partition layouts mirror the reference lambdas:
+    // orders + product/purchase by time keys, shipping_addresses by
+    // country first (lambda_shipping_addresses_transformation
+    // partitions country/year/month/day/hour). IngestSpec additionally
+    // proves all four tables queryable by name with path-twin counts.
+    "catalog_join" -> QueryDef(
+      (s, d) => {
+        val base = Tables.scratchDir(s, d, "glue4")
+        val nested = SyntheticOrders.nested(s, d)
+        val isoTs = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+        def register(name: String, df: org.apache.spark.sql.DataFrame,
+            path: String, partitionCols: Seq[String],
+            clusterCols: Seq[String] = Nil): Unit = {
+          PartitionedSink.write(df, path, partitionCols, clusterCols)
+          val dataDdl = df.schema.fields
+            .filterNot(f => partitionCols.contains(f.name))
+            .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+          val partDdl = partitionCols.map(c => s"$c STRING").mkString(", ")
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          s.sql(s"CREATE TABLE $name ($dataDdl, $partDdl) USING PARQUET " +
+            s"PARTITIONED BY (${partitionCols.mkString(", ")}) " +
+            s"LOCATION '$path'")
+          s.sql(s"MSCK REPAIR TABLE $name")
+        }
+        register("graft_cat_orders",
+          Fanout.withPartitionKeys(Fanout.orders(nested), col("order_date"))
+            .select("order_id", "customer_id", "order_date", "status",
+              "year", "month"),
+          base + "/orders", Seq("year", "month"), Seq("customer_id"))
+        register("graft_cat_product_details",
+          Fanout.withPartitionKeys(
+            Fanout.productDetails(nested, passthrough = Seq("order_date")),
+            isoTs).drop("order_date", "day", "hour"),
+          base + "/product_details", Seq("year", "month"))
+        register("graft_cat_purchase_details",
+          Fanout.withPartitionKeys(
+            Fanout.purchaseDetails(nested, passthrough = Seq("order_date")),
+            isoTs).drop("order_date", "day", "hour"),
+          base + "/purchase_details", Seq("year", "month"))
+        register("graft_cat_shipping_addresses",
+          Fanout.withPartitionKeys(
+            Fanout.shippingAddresses(nested, passthrough = Seq("order_date")),
+            isoTs).drop("order_date", "day", "hour"),
+          base + "/shipping_addresses", Seq("country", "year", "month"))
+        s.sql("""SELECT o.customer_id, o.order_id, o.order_date, o.status,
+                        sa.country, sa.state, sa.city, sa.street, sa.zip
+                 FROM graft_cat_orders o
+                 JOIN graft_cat_shipping_addresses sa
+                   ON o.order_id = sa.order_id
+                 ORDER BY o.order_id""")
+      },
+      """SELECT concat('user', o_custkey) AS customer_id,
+                concat('o', o_orderkey) AS order_id,
+                CAST(o_orderdate AS DATE) AS order_date,
+                o_orderstatus AS status,
+                n_name AS country,
+                c_mktsegment AS state,
+                concat('city', c_nationkey) AS city,
+                c_name AS street,
+                lpad(CAST(o_custkey AS VARCHAR), 5, '0') AS zip
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY order_id"""),
+
     // A14 gate twin — dead-letter routing under PLANTED corruption: a
     // deterministic 1-in-16 subset of wire records (chosen by md5 of
     // the order id, so the oracle can name the same subset without

@@ -152,6 +152,35 @@ class IngestSpec extends AnyFunSuite {
       "scan did not prune: every file of the table was selected")
   }
 
+  test("all four fan-out sinks are registered and queryable by name") {
+    // the reference registers FOUR Glue tables (terraform/main.tf), one
+    // per Firehose sink; catalog_join's gate result only reads two of
+    // them, so this spec proves the other two registrations serve
+    // path-twin row counts by name — and that the shipping table's
+    // country partition values (strings with spaces) round-trip the
+    // directory encoding verbatim
+    SparkEntry.queries("catalog_join")(spark, sf).collect()
+    val nested = graft.ingest.SyntheticOrders.nested(spark, sf)
+    val expect = Map(
+      "graft_cat_orders" -> nested.count(),
+      "graft_cat_product_details" ->
+        graft.ingest.Fanout.productDetails(nested).count(),
+      "graft_cat_purchase_details" -> nested.count(),
+      "graft_cat_shipping_addresses" -> nested.count())
+    expect.foreach { case (t, n) =>
+      val got = spark.sql(s"SELECT count(*) AS n FROM $t")
+        .collect().head.getLong(0)
+      assert(got == n, s"$t by-name count $got != path twin $n")
+    }
+    val countries = spark.sql(
+      "SELECT DISTINCT country FROM graft_cat_shipping_addresses")
+      .collect().map(_.getString(0)).toSet
+    val fromPath = graft.ingest.Fanout.shippingAddresses(nested)
+      .select("country").distinct().collect().map(_.getString(0)).toSet
+    assert(countries == fromPath,
+      s"partition-served country values diverge: ${countries.diff(fromPath)} / ${fromPath.diff(countries)}")
+  }
+
   test("the five reference analytics queries run by table name through the catalog") {
     // the full Athena-surface story: base tables registered in the
     // catalog, the reference's five analytics queries (B1-B5) executed
