@@ -51,6 +51,8 @@ object HashOps {
 
   def wordShingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))
+
+  def phash(blob: Column): Column = column(Phash64(expression(blob)))
 }
 
 /** array<string> shingles → array<long> of `numHashes` min-hash values.
@@ -200,6 +202,107 @@ case class HyperplaneSignature(child: Expression, bits: Int, dims: Int = 64)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** binary blob → 63-bit DCT perceptual hash (classic pHash, Zauner 2010
+  * construction): sample the blob to a 16×16 "luma" grid, apply a
+  * separable 2-D DCT-II, keep the low-frequency 8×8 block, threshold
+  * each non-DC coefficient against their median. Perceptually-similar
+  * planes (small local edits, smooth noise) agree on most sign bits, so
+  * equal hashes bucket near-identical images.
+  *
+  * ALL arithmetic is exact 64-bit integer: the DCT basis is a
+  * fixed-point table (round(2^14·cos(π(2t+1)u/32)), literal constants —
+  * the DuckDB oracle embeds the identical literals) and the median is
+  * an order statistic (32nd smallest of 63), never an average — so the
+  * hash is bit-identical across engines, partitionings, and platforms;
+  * no libm call anywhere. Max |coefficient| ≤ 255·2^14·16·2^14·16 <
+  * 2^45, far from Long overflow.
+  *
+  * The grid sampling (byte at index ⌊s·n/256⌋) is the documented
+  * deterministic stand-in for a real image decode (Multimodal.StubCodec
+  * holds the real javax.imageio path); on the all-ASCII gate corpora
+  * the utf8 bytes coincide with the char codes the SQL oracle reads via
+  * unicode(substring(...)). Empty blob → all-zero grid → hash 0.
+  */
+case class Phash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Phash64.hash(v.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object Phash64 {
+  /** round(2^14 · cos(π(2t+1)u/32)) for u ∈ 0..7, t ∈ 0..15. */
+  private[functions] val K: Array[Array[Int]] = Array(
+    Array(16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384,
+      16384, 16384, 16384, 16384, 16384, 16384, 16384),
+    Array(16305, 15679, 14449, 12665, 10394, 7723, 4756, 1606, -1606,
+      -4756, -7723, -10394, -12665, -14449, -15679, -16305),
+    Array(16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069, -16069,
+      -13623, -9102, -3196, 3196, 9102, 13623, 16069),
+    Array(15679, 10394, 1606, -7723, -14449, -16305, -12665, -4756, 4756,
+      12665, 16305, 14449, 7723, -1606, -10394, -15679),
+    Array(15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137, 15137,
+      6270, -6270, -15137, -15137, -6270, 6270, 15137),
+    Array(14449, 1606, -12665, -15679, -4756, 10394, 16305, 7723, -7723,
+      -16305, -10394, 4756, 15679, 12665, -1606, -14449),
+    Array(13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623, -13623,
+      3196, 16069, 9102, -9102, -16069, -3196, 13623),
+    Array(12665, -7723, -15679, 1606, 16305, 4756, -14449, -10394, 10394,
+      14449, -4756, -16305, -1606, 15679, 7723, -12665))
+
+  def hash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val lum = new Array[Int](256)
+    if (n > 0) {
+      var s = 0
+      while (s < 256) { lum(s) = bytes((s * n) / 256) & 0xff; s += 1 }
+    }
+    // separable DCT, row pass: t(v*16+y) = Σ_x lum(y*16+x)·K(v)(x)
+    val t = new Array[Long](128)
+    var v = 0
+    while (v < 8) {
+      var y = 0
+      while (y < 16) {
+        var acc = 0L
+        var x = 0
+        while (x < 16) { acc += lum(y * 16 + x).toLong * K(v)(x); x += 1 }
+        t(v * 16 + y) = acc
+        y += 1
+      }
+      v += 1
+    }
+    // column pass: c(u*8+v) = Σ_y K(u)(y)·t(v*16+y); c(0) is the DC term
+    val c = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < 16) { acc += K(u)(y).toLong * t(v2 * 16 + y); y += 1 }
+        c(u * 8 + v2) = acc
+        v2 += 1
+      }
+      u += 1
+    }
+    // median = 32nd smallest of the 63 non-DC coefficients (order
+    // statistic — exact, no averaging); bit i set iff strictly above
+    val sorted = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (c(i) > med) hash |= 1L << (i - 1)
+      i += 1
+    }
+    hash
+  }
 }
 
 /** string → array<string> of distinct k-word shingles, one pass.

@@ -176,6 +176,76 @@ object Multimodal {
     * oracle-checked against DuckDB blob functions.
     */
   val defs: Map[String, graft.QueryDef] = Map(
+
+    // D105 — perceptual-hash near-dup over the binary columns: the
+    // 8×8-of-16×16 DCT pHash (graft.functions.Phash64 — fixed-point
+    // integer DCT, bit-identical across engines) bucketing blobs whose
+    // low-frequency planes agree, then exact-dedup semantics per bucket
+    // (min-id representative, dup verdict). This promotes the D12
+    // multimodal plumbing to a gate-checked dedup capability: swap the
+    // deterministic byte-plane stand-in for StubCodec's real
+    // javax.imageio luma decode and the plan is unchanged. One shuffle
+    // on the 63-bit hash (self-join back on the same key — exchange
+    // reuse), output corpus-bounded; at 100 TB this is exactly the
+    // dedup_exact shape, which scales by construction. Oracle = the
+    // same integer DCT in DuckDB list comprehensions over char codes
+    // (== utf8 bytes on the all-ASCII gate corpora).
+    "phash_dedup" -> graft.QueryDef(
+      (s, d) => {
+        val withHash = graft.Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.HashOps.phash(col("text").cast("binary"))
+              .as("phash"))
+        val groups = withHash.groupBy("phash")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"))
+        withHash.join(groups, "phash")
+          .select(col("doc_id"), col("phash"), col("rep_id"),
+            (col("n_members") > 1L).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      """WITH kt AS (SELECT
+           [[16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384],
+            [16305,15679,14449,12665,10394,7723,4756,1606,-1606,-4756,-7723,-10394,-12665,-14449,-15679,-16305],
+            [16069,13623,9102,3196,-3196,-9102,-13623,-16069,-16069,-13623,-9102,-3196,3196,9102,13623,16069],
+            [15679,10394,1606,-7723,-14449,-16305,-12665,-4756,4756,12665,16305,14449,7723,-1606,-10394,-15679],
+            [15137,6270,-6270,-15137,-15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,6270,15137],
+            [14449,1606,-12665,-15679,-4756,10394,16305,7723,-7723,-16305,-10394,4756,15679,12665,-1606,-14449],
+            [13623,-3196,-16069,-9102,9102,16069,3196,-13623,-13623,3196,16069,9102,-9102,-16069,-3196,13623],
+            [12665,-7723,-15679,1606,16305,4756,-14449,-10394,10394,14449,-4756,-16305,-1606,15679,7723,-12665]]
+           AS K),
+         lum AS (
+           SELECT doc_id,
+                  [CASE WHEN length(text) = 0 THEN 0
+                        ELSE unicode(substring(text,
+                               (s * length(text)) // 256 + 1, 1)) END
+                   for s in range(0, 256)] AS g
+           FROM documents),
+         rowp AS (
+           SELECT doc_id,
+                  [list_sum([g[(i % 16) * 16 + x + 1] * K[i // 16 + 1][x + 1]
+                             for x in range(0, 16)])
+                   for i in range(0, 128)] AS t
+           FROM lum CROSS JOIN kt),
+         colp AS (
+           SELECT doc_id,
+                  [list_sum([K[i // 8 + 1][y + 1] * t[(i % 8) * 16 + y + 1]
+                             for y in range(0, 16)])
+                   for i in range(0, 64)] AS c
+           FROM rowp CROSS JOIN kt),
+         hashed AS (
+           SELECT doc_id,
+                  CAST(list_sum(
+                    [CASE WHEN c[i + 1] > list_sort(c[2:64])[32]
+                          THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
+                     for i in range(1, 64)]) AS BIGINT) AS phash
+           FROM colp),
+         groups AS (
+           SELECT phash, min(doc_id) AS rep_id, count(*) AS n_members
+           FROM hashed GROUP BY phash)
+         SELECT h.doc_id, h.phash, g.rep_id, g.n_members > 1 AS is_dup
+         FROM hashed h JOIN groups g USING (phash)
+         ORDER BY h.doc_id"""),
+
     "binary_meta" -> graft.QueryDef(
       (s, d) =>
         graft.Tables.documents(s, d)

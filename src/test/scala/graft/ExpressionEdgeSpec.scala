@@ -24,6 +24,30 @@ class ExpressionEdgeSpec extends AnyFunSuite {
     assert(got(6L).length == 3) // whitespace runs collapse like \s+
   }
 
+  test("phash: perceptual stability under small edits, empty blob is 0") {
+    import graft.functions.Phash64
+    // a long structured "plane": the hash must survive a one-char local
+    // edit (the near-dup property) yet separate structurally different
+    // content (different byte pattern, not just different text)
+    val base = (0 until 400).map(i => s"tok${i % 37}").mkString(" ")
+    val edited = base.updated(base.length / 2, 'X')
+    val other = (0 until 400).map(i => s"w${(i * i) % 91}x").mkString(" ")
+    val hBase = Phash64.hash(base.getBytes("UTF-8"))
+    val hEdit = Phash64.hash(edited.getBytes("UTF-8"))
+    val hOther = Phash64.hash(other.getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(hBase ^ hEdit) <= 3,
+      s"one-char edit moved ${java.lang.Long.bitCount(hBase ^ hEdit)} bits")
+    assert(java.lang.Long.bitCount(hBase ^ hOther) > 10,
+      "structurally different content collided too closely")
+    assert(Phash64.hash(Array.emptyByteArray) == 0L)
+    // null propagates through the expression, not NPEs
+    val df = Seq((1L, Some("abc def")), (2L, None: Option[String]))
+      .toDF("id", "text")
+      .select(col("id"), HashOps.phash(col("text").cast("binary")).as("h"))
+    val got = df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty)
+  }
+
   test("cosine: zero vector yields 0.0, not NaN; null propagates") {
     val df = Seq(
       (1L, Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
