@@ -79,15 +79,46 @@ object Bench {
     // times; the reported figure is the median, which is robust to the
     // +-30% single-shot machine variance observed in rounds 1-2.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Per-query EXECUTOR CPU accounting: wall time alone cannot
+    // separate "the host stretched this query" from "this query did
+    // more work" — the round-6 open question for the six build lines,
+    // whose multi-minute span a bracketing sentinel cannot cover (a
+    // load burst shorter than one build is invisible to probes that
+    // only run between entries). Task CPU time CAN: a throttled or
+    // preempted run burns the SAME cpu over a longer wall, a real
+    // regression burns MORE cpu. BENCH_FULL carries cpu_sec per entry,
+    // so any blown-up wall reading is decidable in isolation:
+    // cpu ≈ committed cpu → environment; cpu grew with wall → real.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskCpuNs.addAndGet(m.executorCpuTime)
+            taskRunMs.addAndGet(m.executorRunTime)
+          }
+        }
+      })
+    val cpuByQuery = scala.collection.mutable.Map[String, Double]()
     def runOnce(name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      // drain at both window edges: listener delivery is async and a
+      // late task-end event would otherwise credit the next query
+      org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+      taskCpuNs.set(0L)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
+        (wall, taskCpuNs.get() / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0)
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -180,10 +211,17 @@ object Bench {
     val buildResults = sharedAssetBuilds
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        withSentinel(name, runOnce(name, fn), always = true) }
+        val (wall, cpu) = runOnce(name, fn)
+        cpuByQuery(name) = cpu
+        withSentinel(name, wall, always = true) }
     val results = buildResults ++ selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn))
-      withSentinel(name, if (times.exists(_ < 0)) -1.0 else median(times))
+      val runs = (1 to reps).map(_ => runOnce(name, fn))
+      // report the MIDDLE-wall rep as a (wall, cpu) PAIR — taking
+      // medians of each series separately could pair rep 1's wall with
+      // rep 2's cpu and fake a wall/cpu divergence
+      val mid = runs.sortBy(_._1).apply((runs.size - 1) / 2)
+      cpuByQuery(name) = mid._2
+      withSentinel(name, if (runs.exists(_._1 < 0)) -1.0 else mid._1)
     }
     sentinelOnce(entryIdx)
     def fmt(v: Double) =
@@ -217,11 +255,14 @@ object Bench {
         s""""sentinel":$sentinelSummary,""" +
         s""""queries":${jsonMap(results.filter(r => headline.contains(r._1)))},""" +
         s""""sf":"$sfDir"}"""
+    val cpuResults = results.collect {
+      case (n, _) if cpuByQuery.contains(n) => n -> cpuByQuery(n) }
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failures":${failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")},""" +
         s""""sentinel":$sentinelSummary,"sentinel_times":$sentinelFull,""" +
-        s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
+        s""""queries":${jsonMap(results)},""" +
+        s""""queries_cpu_sec":${jsonMap(cpuResults)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()
