@@ -24,8 +24,11 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is one file per table; GenScale-produced scale
+    # steps are Spark-written DIRECTORIES named <t>.parquet
+    p = Path(f"{sfdir}/{t}.parquet")
+    src = f"{p}/*.parquet" if p.is_dir() else str(p)
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
 unknown = only - set(oracle)
