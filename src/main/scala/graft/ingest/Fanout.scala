@@ -167,7 +167,17 @@ object SyntheticOrders {
       case _ =>
         val dir = java.nio.file.Files
           .createTempDirectory("graft_wire").toString + "/wire"
-        wire(s, d).write.mode("overwrite").parquet(dir)
+        // Pre-split the landed wire asset to one file per core: the
+        // streaming file source plans its micro-batch from the FILE
+        // list, and the upstream encode frame is AQE-coalesced (1-2
+        // partitions ≈ one 128 MB-bytes-per-split scan task), which
+        // would bind the CPU-heavy base64+JSON decode of every
+        // streaming consumer to 1-2 tasks — the batch side re-widens
+        // after decode, but a stream must be wide AT THE SOURCE. A
+        // round-robin repartition here is producer-side work, paid
+        // once per (session, sfDir), outside any timed query.
+        wire(s, d).repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(dir)
         wireDirMemo = Some(((s, d), dir))
         dir
     }
