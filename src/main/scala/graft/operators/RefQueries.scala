@@ -78,9 +78,18 @@ object RefQueries {
           .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("country"))
-          .agg(round(sum("o_totalprice"), 4).as("total_sales"))
+          // exact decimal money fold (decimal_sum discipline): per-
+          // country sums reach ~1e10, where a 4 dp round of a double
+          // sum sits past the order-independent digits — the sf1 scale
+          // step flipped the last digit between partition-order and
+          // sequential summation. Decimal addition is associative; the
+          // final cast to double is transport-only.
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(28,4)").cast("double").as("total_sales"))
           .orderBy(col("total_sales").desc, col("country")),
-      """SELECT n_name AS country, round(sum(o_totalprice), 4) AS total_sales
+      """SELECT n_name AS country,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DECIMAL(28,4)) AS DOUBLE) AS total_sales
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey

@@ -59,14 +59,26 @@ object Relational4 {
           .select("l_partkey", "l_quantity", "l_extendedprice")
         val half = li.groupBy(col("l_partkey").as("h_partkey"))
           .agg((avg("l_quantity") * 0.5).as("half_avg"))
+        // money fold in exact decimal (the decimal_sum discipline): a
+        // double sum of ~1e10 magnitude rounded at 4 dp needs 15
+        // significant digits — beyond double's order-independent range,
+        // so partition-order vs sequential summation diverged at the
+        // sf1 scale step. Decimal addition is associative; the single
+        // double division/round at the end starts from the identical
+        // exact value on both engines.
         li.join(broadcast(half), col("l_partkey") === col("h_partkey"))
           .filter(col("l_quantity") < col("half_avg"))
-          .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"),
+          .agg(round(
+            sum(col("l_extendedprice").cast("decimal(18,4)"))
+              .cast("decimal(28,4)").cast("double") / 7.0, 4)
+            .as("avg_yearly"),
             count(lit(1)).as("n_lines"))
       },
       """WITH a AS (SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
                     FROM lineitem GROUP BY 1)
-         SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+         SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                               AS DECIMAL(28,4)) AS DOUBLE) / 7.0, 4)
+                  AS avg_yearly,
                 count(*) AS n_lines
          FROM lineitem JOIN a USING (l_partkey)
          WHERE l_quantity < half_avg"""),

@@ -226,8 +226,12 @@ object VectorAnalytics {
         def projExpr(j: Int): String = {
           val sign = s"(CASE ((CAST(i AS BIGINT) * 73856093) ^ (${j}L * 19349663)) % 6 " +
             "WHEN 0 THEN 1.0D WHEN 5 THEN -1.0D ELSE 0.0D END)"
+          // + 0.0 normalizes IEEE signed zero: Spark's BigDecimal
+          // half-up round yields +0.0 for a tiny negative sum where
+          // DuckDB's C round keeps -0.0, and the gate's repr-compare
+          // distinguishes them (first hit at the sf1 scale step)
           s"round(aggregate(sequence(0, 63), CAST(0 AS DOUBLE), " +
-            s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * $sign), 4) AS p$j"
+            s"(acc, i) -> acc + CAST(element_at(embedding, i + 1) AS DOUBLE) * $sign), 4) + 0.0D AS p$j"
         }
         Tables.embeddings(s, d)
           .selectExpr(Seq("vec_id") ++ (0 until 8).map(projExpr): _*)
@@ -239,7 +243,7 @@ object VectorAnalytics {
                 WHEN 0 THEN CAST(1.0 AS DOUBLE)
                 WHEN 5 THEN CAST(-1.0 AS DOUBLE)
                 ELSE CAST(0.0 AS DOUBLE) END)
-               for i in range(0, 64)]), 4) AS p$j"""
+               for i in range(0, 64)]), 4) + 0.0 AS p$j"""
         s"""SELECT vec_id, ${(0 until 8).map(projSql).mkString(",\n")}
             FROM embeddings ORDER BY vec_id"""
       }),
