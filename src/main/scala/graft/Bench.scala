@@ -48,7 +48,13 @@ object Bench {
         graft.dedup.Dedup.sharedPostings(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
       "shared_labels_build" -> ((s, d) => graft.dedup.Clusters.sharedLabels(s, d)),
-      "shared_chunks_build" -> ((s, d) => graft.text.CorpusIndex.sharedChunks(s, d)))
+      "shared_chunks_build" -> ((s, d) => graft.text.CorpusIndex.sharedChunks(s, d)),
+      // A27's crawler analog: land + register the four fan-out sinks
+      // once; catalog_join then times the by-name join, not the landing
+      "catalog_tables_build" -> ((s, d) => {
+        graft.ingest.IngestQueries.catalogTables(s, d)
+        s.range(1).toDF("ok")
+      }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
