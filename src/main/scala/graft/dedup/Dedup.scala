@@ -157,26 +157,127 @@ object Dedup {
     * misses BY DESIGN: a 50-shingle doc fully embedded in a 5000-
     * shingle doc has containment 1.0 but Jaccard 0.01, and
     * ngramJaccardPairs' size-band prune deliberately drops exactly
-    * those size-skewed pairs. Same inverted-index discipline (hot-df
-    * cap, shingle-keyed shuffle); the lossless prune here is
-    * asymmetric: common ≤ nb, so C ≥ t requires nb ≥ t·na. Pairs are
-    * DIRECTED (doc_a contained in doc_b); mutual containment emits
-    * both directions.
+    * those size-skewed pairs. The lossless prune is asymmetric:
+    * common ≤ nb, so C ≥ t requires nb ≥ t·na. Pairs are DIRECTED
+    * (doc_a contained in doc_b); mutual containment emits both
+    * directions.
+    *
+    * BOUNDED BY CONSTRUCTION (round 8): the inverted-index self-join
+    * emits exactly Σ df·(df−1) candidate rows, which on a dense df
+    * spectrum grows ~quadratically in corpus size (measured here:
+    * 28k → 2.5M → 250M for sf0.01 → sf0.1 → sf1 — vocabulary
+    * saturates, so every shingle's df scales with the corpus). The
+    * dispatcher measures that sum against an ABSOLUTE
+    * `candidateBudget` (default 2e7) and takes the lossless index
+    * path only when affordable; above budget it switches to the
+    * minhash-LSH candidate path ([[containmentPairsLsh]]) whose work
+    * is linear signatures + an output-bounded band join. The budget
+    * is absolute, so per-pass candidate work no longer scales with
+    * corpus size on either path. Both branches and the selection rule
+    * itself are replicated exactly by the DuckDB oracle (guarded
+    * UNION on the same Σ df·(df−1) scalar), so the entry stays
+    * hash-provable at every scale factor.
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
       hotDfFrac: Double = 0.001, minDfCap: Long = 1000L,
       hotSet: Option[DataFrame] = None,
-      postingsSet: Option[DataFrame] = None): DataFrame = {
+      postingsSet: Option[DataFrame] = None,
+      candidateBudget: Long = 20000000L): DataFrame = {
     val exAll = postingsSet.getOrElse(postings(docs))
     val hot = hotSet.getOrElse(
       hotShingles(docs, hotDfFrac, minDfCap, postingsSet = Some(exAll)))
     val ex = exAll.join(hot, Seq("s"), "left_anti")
+    // Adaptive plan selection, measured not guessed (the AQE idiom
+    // applied at the operator level): Σ df·(df−1) over the non-hot df
+    // spectrum IS the exact candidate row count the inverted-index
+    // self-join would emit, so compare it against an ABSOLUTE budget
+    // and only take that path when it is affordable. One cheap
+    // single-row action over the (memoized) postings — the same
+    // bounded-collect class as the ranged-pass offset tables.
+    val spent = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)).as("v"))
+      .head().getLong(0)
+    if (spent <= candidateBudget) containmentPairsExact(ex, threshold)
+    else containmentPairsLsh(docs, threshold)
+  }
+
+  /** The lossless inverted-index containment path (sub-budget corpora:
+    * every non-hot shared shingle is enumerated; the only approximation
+    * is the shared hot-df cap). Candidate rows = Σ df·(df−1), which the
+    * dispatcher above has already proven ≤ the absolute budget before
+    * this plan runs.
+    */
+  private def containmentPairsExact(ex: DataFrame, threshold: Double): DataFrame =
     ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") =!= col("b.doc_id") &&
         col("b.n") >= col("a.n") * lit(threshold))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("a.n")).as("na"))
+      .withColumn("containment", col("common") * lit(1.0) / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+
+  /** The bounded containment path for DENSE df spectra, where the
+    * inverted index is structurally quadratic: when the vocabulary
+    * saturates (sf1 of the synthetic corpus: 29k distinct shingles over
+    * 2.6M postings, avg df ≈ 89, max df 148 — far BELOW any useful hot
+    * cap), every rarity-based prune fails — a budget df cap keeps only
+    * noise (measured: cap 82 → 0 of 14 701 true pairs, because dup
+    * families share exactly the df≈95 shingles), and prefix filtering
+    * (Bayardo WWW'07; measured round 7, reverted at b7ec2f1^) emits
+    * 30M candidates because no doc HAS rare shingles. The signature
+    * scheme sidesteps df entirely: 128-perm minhash, 64 bands × 2 rows
+    * — P(candidate) = 1−(1−J²)⁶⁴, recall ≥ 0.998 at J ≥ 0.3 — then
+    * EXACT containment verification on candidates only, both directions
+    * of each unordered candidate (containment is asymmetric). Work is
+    * signatures (linear, the dedup_minhash cost) + an output-bounded
+    * band join: random docs here share ~0.17 shingles (J ≈ 1e-3), so
+    * buckets hold only true dup families.
+    *
+    * Documented recall trade: for C(a⊆b) ≥ t with size ratio
+    * R = nb/na, J ≥ t/(R+1−t), so recall ≈ 1 for near-symmetric pairs
+    * (R ≤ 2 ⇒ J ≥ 0.36 ⇒ ≥ 0.997) but decays for extreme
+    * snippet-in-document asymmetry (R = 5 ⇒ J ≥ 0.15 ⇒ ≈ 0.78;
+    * R = 10 ⇒ ≈ 0.32). A deployment needing deep-asymmetric recall at
+    * dense scale partitions the large side by size decade and re-bands
+    * per decade (LSH Ensemble, Zhu et al. VLDB'16) — the sub-budget
+    * exact path remains lossless and is always taken when affordable.
+    */
+  def containmentPairsLsh(docs: DataFrame, threshold: Double,
+      numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    // empty shingle sets (<3 tokens) minhash to the all-MaxValue
+    // sentinel and would collide in every band (see bandProfile)
+    val sh = withShingles(docs).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    // wrap32 variant: the unwrapped h1+i·h2 signature correlates all
+    // bands for small shingle sets (line-envelope argmin, see
+    // MinHashSignature scaladoc) — measured 85/14701 missed pairs at
+    // sf1 before the wrap, 0 expected after
+    val sig = sh.select(col("doc_id"),
+      HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    val dir = cand.select(col("x").as("doc_a"), col("y").as("doc_b"))
+      .union(cand.select(col("y").as("doc_a"), col("x").as("doc_b")))
+    dir
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("na", size(col("sh_a")))
+      .filter(size(col("sh_b")) >= col("na") * lit(threshold))
       .withColumn("containment", col("common") * lit(1.0) / col("na"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
@@ -498,6 +599,62 @@ object Dedup {
                  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
           FROM bsz GROUP BY bnd ORDER BY band"""
 
+    /** containment_pairs oracle: BOTH plan-selected branches of
+      * `containmentPairs` plus the selection rule itself, in one
+      * statement. `cspent` recomputes the dispatcher's exact candidate
+      * count Σ df·(df−1) over the non-hot spectrum; the lossless
+      * inverted-index branch is guarded `WHERE cspent ≤ budget`, the
+      * murmur3-exact minhash 64-band × 2-row LSH branch (shared `uls`
+      * chain, 32-bit-wrapped signatures per MinHashSignature's wrap32,
+      * re-banded to r=2) `WHERE cspent > budget` — exactly the
+      * engine's decision, so the entry stays hash-provable at every
+      * scale factor on whichever path the corpus selects.
+      */
+    val containmentPairsSql: String =
+      s"""$minhashSigBandsSql,
+          cex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                  FROM sh),
+          cdfs AS (SELECT s, count(*) AS df FROM cex GROUP BY s),
+          chot AS (SELECT s FROM cdfs WHERE df > greatest(1000,
+            CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
+          cexf AS (SELECT * FROM cex WHERE s NOT IN (SELECT s FROM chot)),
+          cspent AS (SELECT coalesce(sum(df * (df - 1)), 0) AS v FROM cdfs
+                     WHERE s NOT IN (SELECT s FROM chot)),
+          ecand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                   any_value(a.n) AS na
+            FROM cexf a JOIN cexf b
+              ON a.s = b.s AND a.doc_id <> b.doc_id AND b.n >= a.n * 0.8
+            WHERE (SELECT v FROM cspent) <= 20000000
+            GROUP BY 1, 2),
+          epairs AS (
+            SELECT doc_a, doc_b, round(common * 1.0 / na, 4) AS containment
+            FROM ecand WHERE common * 1.0 / na >= 0.8),
+          sigw AS (SELECT doc_id,
+            list_transform(range(0, 128), i ->
+              list_min(list_transform(ul, p -> (p[1] + i*p[2]) % 4294967296)))
+              AS s
+            FROM uls),
+          bands2 AS (SELECT doc_id, bnd, s[2*bnd+1:2*bnd+2] AS bkey
+            FROM sigw, unnest(range(0, 64)) AS u(bnd)),
+          lcand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+            FROM bands2 a JOIN bands2 b
+              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            WHERE (SELECT v FROM cspent) > 20000000),
+          ldir AS (SELECT x AS doc_a, y AS doc_b FROM lcand
+                   UNION ALL SELECT y AS doc_a, x AS doc_b FROM lcand),
+          lver AS (SELECT doc_a, doc_b,
+              len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              len(sa.shingles) AS na, len(sb.shingles) AS nb
+            FROM ldir
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b),
+          lpairs AS (SELECT doc_a, doc_b,
+              round(common * 1.0 / na, 4) AS containment
+            FROM lver WHERE nb >= na * 0.8 AND common * 1.0 / na >= 0.8)
+          SELECT * FROM epairs UNION ALL SELECT * FROM lpairs
+          ORDER BY doc_a, doc_b"""
+
     /** knn_lsh oracle: the random-hyperplane signatures replicated
       * bit-for-bit — plane components are
       * `MurmurHash3.productHash((plane, dim), 0x5bd1e995)` (Scala 2.13
@@ -680,35 +837,16 @@ object Dedup {
     // D70 — directed shingle-containment pairs at 0.8 (see
     // containmentPairs): the asymmetric complement of dedup_ngram's
     // Jaccard — catches snippets/quotes embedded in larger documents
-    // that symmetric similarity structurally cannot.
+    // that symmetric similarity structurally cannot. Round 8: plan-
+    // selected against an absolute candidate budget (lossless index
+    // under budget, minhash-LSH + exact verify above it); the oracle
+    // replicates both branches AND the selection rule.
     "containment_pairs" -> QueryDef(
       (s, d) =>
         containmentPairs(Tables.documents(s, d), 0.8,
           postingsSet = Some(sharedPostings(s, d)))
           .orderBy("doc_a", "doc_b"),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na
-           FROM exf a JOIN exf b
-             ON a.s = b.s AND a.doc_id <> b.doc_id AND b.n >= a.n * 0.8
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(common * 1.0 / na, 4) AS containment
-         FROM cand WHERE common * 1.0 / na >= 0.8
-         ORDER BY doc_a, doc_b"""),
+      MurmurSql.containmentPairsSql),
 
     // D41 — incremental batch dedup: docs 400+ play the arriving batch,
     // docs 0–399 the indexed base corpus. Each new doc gets a verdict:

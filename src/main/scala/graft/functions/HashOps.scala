@@ -40,6 +40,14 @@ object HashOps {
   def minhash(shingles: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(shingles), numHashes))
 
+  /** 32-bit-wrapped minhash variant (see MinHashSignature scaladoc on
+    * the envelope correlation the wrap removes). Kept as a separate
+    * entry point so the established unwrapped oracles (dedup_minhash,
+    * sql_minhash, minhash_band_profile) stay bit-identical.
+    */
+  def minhashW32(shingles: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(shingles), numHashes, wrap32 = true))
+
   def simhash(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
 
@@ -58,8 +66,21 @@ object HashOps {
 /** array<string> shingles → array<long> of `numHashes` min-hash values.
   * Permutation i is `h1 + i*h2` over two murmur3 seeds (double hashing)
   * — 2 hashes per shingle regardless of signature width.
+  *
+  * `wrap32` (round 8): the unwrapped values max out at h1 + 127·h2 <
+  * 2³⁹, far below the 63-bit mask, so each element's permuted value is
+  * STRICTLY INCREASING in i — the signature is the lower envelope of n
+  * lines, whose argmin switches at most n−1 times across all
+  * permutations. For small sets that correlates every band (measured
+  * at sf1: 85 of 14 701 true containment pairs with J up to 0.986, all
+  * with ≤ 90 shingles, missed ALL 64 2-row bands). Masking each value
+  * to 32 bits makes the lines wrap with a different stride per element,
+  * decorrelating the per-permutation argmin (the standard 32-bit
+  * Carter–Wegman construction). Default stays unwrapped: the committed
+  * minhash-family DuckDB oracles replicate that arithmetic exactly.
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, numHashes: Int,
+    wrap32: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -67,6 +88,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill[Long](numHashes)(Long.MaxValue)
+    val mask = if (wrap32) 0xffffffffL else 0x7fffffffffffffffL
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
@@ -75,7 +97,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         val h2 = (HashOps.hashUtf8(s, 0x85ebca6b).toLong & 0xffffffffL) | 1L
         var i = 0
         while (i < numHashes) {
-          val hv = (h1 + i.toLong * h2) & 0x7fffffffffffffffL
+          val hv = (h1 + i.toLong * h2) & mask
           if (hv < mins(i)) mins(i) = hv
           i += 1
         }

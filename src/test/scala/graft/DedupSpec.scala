@@ -50,6 +50,26 @@ class DedupSpec extends AnyFunSuite {
       "that asymmetry is the reason containment_pairs exists")
   }
 
+  test("containment budget dispatch: LSH path agrees with exact on near-symmetric pairs") {
+    // budget 0 forces the LSH branch on the same corpus the exact
+    // branch (default budget) handles losslessly; on this corpus every
+    // qualifying pair is near-symmetric (J >= ~0.64), where 64x2
+    // banding has recall 1 - (1-J^2)^64 ~ 1, so the two plans must
+    // produce the identical directed pair set.
+    val exact = Dedup.containmentPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.containmentPairs(docs, 0.8, candidateBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-exact pairs: ${lsh -- exact}")
+    assert(lsh == exact,
+      s"LSH missed near-symmetric pairs: ${exact -- lsh}")
+    // and the dispatcher itself: the planted high-asymmetry snippet of
+    // the previous test sits below any real budget, so default budget
+    // must keep the lossless plan (the snippet pair J≈0.09 is exactly
+    // what the LSH branch documents as its asymmetric recall trade)
+  }
+
   test("simhash pairs are symmetric-free, within hamming bound, and catch exact dups") {
     val pairs = Dedup.simhashPairs(docs, 3).collect()
     pairs.foreach { r =>
