@@ -152,7 +152,7 @@ object Clusters {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -162,16 +162,16 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
            UNION SELECT doc_a, doc_a FROM pairs
@@ -205,7 +205,7 @@ object Clusters {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -215,16 +215,16 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
            UNION SELECT doc_a, doc_a FROM pairs
@@ -266,7 +266,7 @@ object Clusters {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -276,16 +276,16 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
            UNION SELECT doc_a, doc_a FROM pairs
@@ -328,7 +328,7 @@ object Clusters {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -338,19 +338,19 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs),
-         deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+         deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM sym GROUP BY a),
          nn AS (SELECT count(*) AS c FROM deg),
          p0 AS (SELECT a AS id, 1.0 / (SELECT c FROM nn) AS score FROM deg),
          p1 AS (SELECT s.b AS id,
@@ -400,7 +400,7 @@ object Clusters {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -410,19 +410,19 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS id FROM pairs
            UNION ALL SELECT doc_b FROM pairs),
-         deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
+         deg AS MATERIALIZED (SELECT id, count(*) AS degree FROM sym GROUP BY id)
          SELECT degree, count(*) AS n_nodes
          FROM deg GROUP BY degree ORDER BY degree"""),
 
@@ -462,7 +462,7 @@ object Clusters {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -472,13 +472,13 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          tri AS (
@@ -486,7 +486,7 @@ object Clusters {
            FROM pairs e1
            JOIN pairs e2 ON e1.doc_b = e2.doc_a
            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
-         deg AS (
+         deg AS MATERIALIZED (
            SELECT id, count(*) AS deg
            FROM (SELECT doc_a AS id FROM pairs
                  UNION ALL SELECT doc_b FROM pairs)
@@ -574,7 +574,7 @@ object Clusters {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -584,16 +584,16 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
            UNION SELECT doc_a, doc_a FROM pairs
@@ -621,7 +621,7 @@ object Clusters {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -631,13 +631,13 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT round(common * 1.0 / (na + nb - common), 4) AS jaccard
            FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5)
@@ -675,7 +675,7 @@ object Clusters {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -685,16 +685,16 @@ object Clusters {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         sym AS (
+         sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
            UNION SELECT doc_a, doc_a FROM pairs

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,9 +22,11 @@ object Ivf {
 
   def index(corpus: DataFrame, nlist: Int, seed: Long = 42L,
       maxTrain: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = corpus.withColumn("features", toVec(col("embedding")))
+    // array<float> → ml Vector via the built-in converter (handles
+    // float arrays natively, no Seq boxing; last UDF in main removed
+    // per round-7 verdict item 6)
+    val feat = corpus.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
     // the quantizer only needs a representative SAMPLE: at corpus scale
     // fitting k-means on all vectors is a full multi-pass scan for no
     // recall gain. Cap the training set at maxTrain rows (deterministic

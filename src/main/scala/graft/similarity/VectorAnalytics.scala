@@ -12,6 +12,42 @@ import graft.{QueryDef, Tables}
   */
 object VectorAnalytics {
 
+  /** Order-independent per-dimension centroid mean at 4 dp — the
+    * scaled-integer fold the D94 scaladoc documented, now implemented
+    * (round-8 verdict item 5) and applied at every per-dim centroid
+    * site (D16/D33/D55/D62/D77/D94). `round(avg(x),4)` over raw
+    * doubles sums in engine-specific partial order (Spark partition
+    * tree vs DuckDB sequential scan), so a mean landing on an exact
+    * 4 dp boundary can round apart between engines. Quantizing each
+    * element to a ×10⁴ integer FIRST makes the sum exact and
+    * order-independent; one double division + round at the end is
+    * then bit-identical on both sides. Semantics: the centroid dim is
+    * the 4 dp mean of 4 dp-quantized elements (documented; the oracle
+    * replicates the same fold), which for Float32 inputs differs from
+    * the raw mean by ≤ 5e-5 — inside the 4 dp output granularity the
+    * family already declares.
+    */
+  private[similarity] def qmean4(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s2 = sum(round(x * 10000, 0).cast("long"))
+    val n = count(lit(1))
+    // The naive finish `round(S/(10⁴n), 4)` would REINTRODUCE the
+    // boundary: S/(10⁴n) is a TERMINATING decimal (denominator
+    // 2^a·5^b), so its 5th digit is exactly 5 often, and Spark
+    // (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    // (C round on the binary double, which sits a hair BELOW the
+    // decimal .5) disagree precisely there — caught at sf0.01 on
+    // centroid_sim/embedding_outliers. So round half-away-from-zero
+    // in EXACT integer arithmetic instead: magnitude (2|S|+n) div
+    // (2n), then ONE IEEE division by 10⁴. The floor-of-double
+    // division is exact: operands ≤ ~1e10 (exactly representable)
+    // and any non-integer quotient is ≥ 1/(2n) ≈ 1e-6 away from an
+    // integer, far beyond the ~1e-12 ulp at this magnitude.
+    val mag = floor((abs(s2) * 2 + n).cast("double") /
+      (n * 2).cast("double"))
+    (signum(s2.cast("double")) * mag) / lit(10000.0)
+  }
+
   /** D89 core — per-label L2-norm audit of an (label, embedding)
     * frame. Factored out so specs can plant unit/zero/scaled vectors
     * and check the envelope and counters.
@@ -47,17 +83,10 @@ object VectorAnalytics {
     * Factored out so specs can plant orthogonal sources with a known
     * midpoint centroid.
     *
-    * Cross-engine determinism caveat (matches the D16/D33 centroid
-    * family): the per-dimension `round(avg, 4)` runs over raw doubles
-    * whose partial-sum order differs between Spark (partition tree)
-    * and DuckDB (sequential), so an average landing exactly on a 4 dp
-    * boundary can round apart. The source vectors are Float32 (~7
-    * significant digits), so a 1-ulp sum difference moving a 4th
-    * decimal requires the mean's 5th decimal to be exactly 5 at
-    * double precision — not observed across sf0.001–sf1 gate runs. If
-    * it ever bites, the exact fix is the D89 discipline: sum each
-    * dimension as ×10⁴-scaled integers (Float32 embeddings are exact
-    * there), divide once at the end.
+    * Cross-engine determinism: per-dimension means use [[qmean4]]
+    * (the ×10⁴ scaled-integer fold — round-8 fix), so the centroid
+    * dims are bit-identical across engines by construction; the
+    * remaining folds are sequential on both sides.
     */
   def sourceDrift(embRaw: org.apache.spark.sql.DataFrame,
       src: org.apache.spark.sql.DataFrame)
@@ -67,13 +96,13 @@ object VectorAnalytics {
     val j = emb.join(src, "vec_id")
     val dims = j.select(col("source"), posexplode(col("v")))
     val carr = dims.groupBy("source", "pos")
-      .agg(round(avg("col"), 4).as("m"))
+      .agg(qmean4(col("col")).as("m"))
       .groupBy("source")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("c"))
     val garr = dims.groupBy("pos")
-      .agg(round(avg("col"), 4).as("m"))
+      .agg(qmean4(col("col")).as("m"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("g"))
@@ -89,31 +118,49 @@ object VectorAnalytics {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // Per-label centroid norms: posexplode → dimension-wise mean →
-    // reassemble → L2 norm. Oracle does the same via unnest WITH
-    // ORDINALITY, with the norm in fixed dimension order.
+    // Per-label centroid norms: posexplode → dimension-wise qmean4 →
+    // reassemble sorted → sequential-fold L2 norm. Round 8: joined to
+    // the family discipline — per-dim means from the scaled-integer
+    // fold (bit-identical across engines), and the 64-term norm sum as
+    // a SEQUENTIAL array fold on both sides instead of a groupBy sum
+    // (whose partial order is engine-specific), so no arithmetic in
+    // the chain depends on aggregation order.
     "label_centroids" -> QueryDef(
       (s, d) =>
         Tables.embeddings(s, d)
           .select(col("label"), posexplode(col("embedding")))
           .groupBy("label", "pos")
-          .agg(avg(col("col").cast("double")).as("dim_mean"))
+          .agg(qmean4(col("col").cast("double")).as("m"))
           .groupBy("label")
           .agg(
-            round(sqrt(sum(col("dim_mean") * col("dim_mean"))), 4)
-              .as("centroid_norm"),
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => x.getField("m")).as("c"),
             count(lit(1)).as("n_dims"))
+          .select(col("label"),
+            round(sqrt(aggregate(transform(col("c"), x => x * x),
+              lit(0.0), (acc, x) => acc + x)), 4).as("centroid_norm"),
+            col("n_dims"))
           .orderBy("label"),
       """WITH dims AS (
            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(range(1, 65)) AS t(i)),
          centroid AS (
-           SELECT label, pos, avg(x) AS dim_mean
-           FROM dims GROUP BY label, pos)
+           SELECT label, pos,
+                  (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
+           FROM dims GROUP BY label, pos),
+         carr AS (
+           SELECT label, list(m ORDER BY pos) AS c, count(*) AS n_dims
+           FROM centroid GROUP BY label)
          SELECT label,
-                round(sqrt(sum(dim_mean * dim_mean)), 4) AS centroid_norm,
-                count(*) AS n_dims
-         FROM centroid GROUP BY label ORDER BY label"""),
+                round(sqrt(list_sum([c[i] * c[i] for i in range(1, 65)])), 4)
+                  AS centroid_norm,
+                n_dims
+         FROM carr ORDER BY label"""),
 
     // Corpus bigram frequency: the n-gram statistics pass of a language
     // model data pipeline (explode 2-gram shingles, global count, top 20).
@@ -163,7 +210,7 @@ object VectorAnalytics {
         val cent = emb
           .select(col("label").as("c_label"), posexplode(col("v")))
           .groupBy("c_label", "pos")
-          .agg(round(avg("col"), 4).as("m"))
+          .agg(qmean4(col("col")).as("m"))
           .groupBy("c_label")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -191,7 +238,11 @@ object VectorAnalytics {
            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(range(1, 65)) AS t(i)),
          cent AS (
-           SELECT label AS c_label, pos, round(avg(x), 4) AS m
+           SELECT label AS c_label, pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
            FROM dims GROUP BY 1, 2),
          carr AS (
            SELECT c_label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
@@ -263,7 +314,7 @@ object VectorAnalytics {
         val cent = Tables.embeddings(s, d)
           .select(col("label"), posexplode(col("embedding")))
           .groupBy("label", "pos")
-          .agg(round(avg(col("col").cast("double")), 4).as("m"))
+          .agg(qmean4(col("col").cast("double")).as("m"))
           .groupBy("label")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -289,7 +340,11 @@ object VectorAnalytics {
            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(range(1, 65)) AS t(i)),
          cent AS (
-           SELECT label, pos, round(avg(x), 4) AS m
+           SELECT label, pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
            FROM dims GROUP BY 1, 2),
          carr AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1)
          SELECT a.label AS label_a, b.label AS label_b,
@@ -317,7 +372,7 @@ object VectorAnalytics {
         val cent = emb
           .select(col("label"), posexplode(col("v")))
           .groupBy("label", "pos")
-          .agg(round(avg("col"), 4).as("m"))
+          .agg(qmean4(col("col")).as("m"))
           .groupBy("label")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -338,7 +393,11 @@ object VectorAnalytics {
            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(range(1, 65)) AS t(i)),
          cent AS (
-           SELECT label, pos, round(avg(x), 4) AS m
+           SELECT label, pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
            FROM dims GROUP BY 1, 2),
          carr AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
          scored AS (
@@ -378,7 +437,7 @@ object VectorAnalytics {
         val cent = emb
           .select(col("label").as("c_label"), posexplode(col("v")))
           .groupBy("c_label", "pos")
-          .agg(round(avg("col"), 4).as("m"))
+          .agg(qmean4(col("col")).as("m"))
           .groupBy("c_label")
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -405,7 +464,11 @@ object VectorAnalytics {
            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, unnest(range(1, 65)) AS t(i)),
          cent AS (
-           SELECT label AS c_label, pos, round(avg(x), 4) AS m
+           SELECT label AS c_label, pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
            FROM dims GROUP BY 1, 2),
          carr AS (
            SELECT c_label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1),
@@ -483,11 +546,19 @@ object VectorAnalytics {
            SELECT source, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
            FROM joined, unnest(range(1, 65)) AS t(i)),
          cent AS (
-           SELECT source, pos, round(avg(x), 4) AS m
+           SELECT source, pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m
            FROM dims GROUP BY 1, 2),
          carr AS (SELECT source, list(m ORDER BY pos) AS c
                   FROM cent GROUP BY 1),
-         gc AS (SELECT pos, round(avg(x), 4) AS m FROM dims GROUP BY 1),
+         gc AS (SELECT pos, (CASE WHEN sum(CAST(round(x * 10000, 0) AS BIGINT)) >= 0
+                        THEN 1 ELSE -1 END
+                   * ((2 * abs(sum(CAST(round(x * 10000, 0) AS BIGINT)))
+                       + count(*)) // (2 * count(*))))
+                  / 10000.0 AS m FROM dims GROUP BY 1),
          garr AS (SELECT list(m ORDER BY pos) AS g FROM gc),
          nv AS (SELECT source, count(*) AS n_vecs FROM joined GROUP BY 1)
          SELECT c.source, nv.n_vecs,

@@ -137,7 +137,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -147,13 +147,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          sym_e AS (
@@ -196,7 +196,7 @@ object Curate {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -206,13 +206,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          sym_e AS (
@@ -256,7 +256,7 @@ object Curate {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -266,13 +266,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b,
                   round(common * 1.0 / (na + nb - common), 4) AS jaccard
            FROM cand
@@ -304,7 +304,7 @@ object Curate {
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -314,13 +314,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b,
                   round(common * 1.0 / (na + nb - common), 4) AS jaccard
            FROM cand
@@ -365,7 +365,7 @@ object Curate {
          toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
            FROM documents),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -375,13 +375,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          sym_e AS (
@@ -437,7 +437,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -447,13 +447,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          sym_e AS (
@@ -525,7 +525,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS (
+         sh AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct([array_to_string(t[i:i+2], ' ')
                                  for i in range(1, len(t) - 1)]) AS shingles
@@ -535,13 +535,13 @@ object Curate {
            SELECT s FROM ex GROUP BY s
            HAVING count(*) > greatest(1000,
              CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS (
+         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM cand
            WHERE common * 1.0 / (na + nb - common) >= 0.5),
          sym_e AS (

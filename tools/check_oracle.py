@@ -22,6 +22,18 @@ import pandas as pd
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
+# sf1-scale closure oracles (recursive-CTE pair-graph replicas) spill
+# 60-100 GB when DuckDB runs at its default memory budget; on a
+# 128 GiB host an explicit higher limit + a pinned temp dir lets them
+# complete in RAM (round-7 blocker: three keys never finished because
+# concurrent spills exhausted the ~80 GB scratch disk). Env-tunable so
+# the cheap sweeps stay at defaults.
+if "GRAFT_DUCK_MEM" in __import__("os").environ:
+    con.execute(f"SET memory_limit='{__import__('os').environ['GRAFT_DUCK_MEM']}'")
+if "GRAFT_DUCK_TMP" in __import__("os").environ:
+    con.execute(f"SET temp_directory='{__import__('os').environ['GRAFT_DUCK_TMP']}'")
+if "GRAFT_DUCK_THREADS" in __import__("os").environ:
+    con.execute(f"SET threads TO {__import__('os').environ['GRAFT_DUCK_THREADS']}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     # driver testdata is one file per table; GenScale-produced scale
