@@ -374,15 +374,28 @@ object IngestQueries {
     * query runs by name against the standing catalog. Re-landing four
     * sinks per bench repetition would time the crawler, not the by-name
     * join under test (same argument as `SyntheticOrders.wireDir`).
-    * Single slot like the other memos; tables are rebuilt when the
-    * (session, sfDir) key changes, so mixed-SF test sessions stay
-    * correct.
+    * The memo records WHICH sfDir's landing the four (session-global)
+    * table names currently serve, and a hit is VALIDATED before being
+    * trusted: it still checks `tableExists` on all four names, so a
+    * dropped table or a cleaned scratch dir re-lands instead of
+    * silently serving a stale/absent catalog (round-7 ADVICE item).
+    * Alternating sfDirs within one session re-land by design — the
+    * table names are global, so serving two dirs concurrently is
+    * impossible, only detectable. The map holds the SparkSession
+    * WEAKLY, so the memo never pins a stopped session.
     */
-  @volatile private var catalogMemo: Option[(org.apache.spark.sql.SparkSession, String)] = None
+  private val catalogMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, String]()
+
+  private val catalogTableNames = Seq("graft_cat_orders",
+    "graft_cat_product_details", "graft_cat_purchase_details",
+    "graft_cat_shipping_addresses")
 
   def catalogTables(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     synchronized {
-      if (!catalogMemo.contains((s, d))) {
+      val valid = catalogMemo.get(s) == d &&
+        catalogTableNames.forall(s.catalog.tableExists)
+      if (!valid) {
         val base = Tables.scratchDir(s, d, "glue4")
         val nested = SyntheticOrders.nested(s, d)
         val isoTs = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
@@ -420,7 +433,7 @@ object IngestQueries {
             Fanout.shippingAddresses(nested, passthrough = Seq("order_date")),
             isoTs).drop("order_date", "day", "hour"),
           base + "/shipping_addresses", Seq("country", "year", "month"))
-        catalogMemo = Some((s, d))
+        catalogMemo.put(s, d)
       }
     }
 }

@@ -170,6 +170,42 @@ object Multimodal {
       }
     }
 
+  /** Deterministic PNG fixture set for the REAL-image pHash gate
+    * (D105b): `n` 16×16 RGB images whose pixel values are a pure
+    * integer formula of (x, y, pattern) — pattern = img_id % 12 for
+    * the first 48 ids (four exact copies each), img_id itself above
+    * (unique). Each row REALLY encodes the raster through
+    * `javax.imageio` PNG — the bytes column is a genuine PNG file —
+    * so a consumer decoding it exercises the full codec round trip.
+    * The formula (not the bytes) is what the DuckDB oracle replays:
+    * PNG encoders may differ byte-for-byte, decoded pixels may not.
+    */
+  def syntheticPngs(s: SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    s.range(n).map { idBoxed =>
+      val id: Long = idBoxed
+      val p = (if (id < 48) id % 12 else id).toInt
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val r = (x * (16 + p) + y * 7 + p * 31) % 256
+          val g = (x * 5 + y * (11 + p) + p * 13) % 256
+          val b = (x * 3 + y * 29 + p * 47) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }.toDF("img_id", "png")
+  }
+
   /** D12 gate entry: binary-column metadata plumbing — byte length and
     * magic-bytes sniff over an opaque blob column, the (deterministic)
     * first step of any media-type dispatch. Pure codegen'd column ops;
@@ -245,6 +281,87 @@ object Multimodal {
          SELECT h.doc_id, h.phash, g.rep_id, g.n_members > 1 AS is_dup
          FROM hashed h JOIN groups g USING (phash)
          ORDER BY h.doc_id"""),
+
+    // D105b — pHash over REAL image bytes (round-8 verdict item 4):
+    // the fixture PNGs are genuine ImageIO-encoded files; the engine
+    // pipeline is the production one — PNG decode (javax.imageio, the
+    // real path in StubCodec.decodeLuma, NOT the byte-plane stand-in),
+    // BT.601 integer luma, then the same fixed-point 16×16→8×8 DCT
+    // hash and dedup-bucket semantics as phash_dedup. The oracle
+    // CANNOT decode PNG, so it replays the fixtures' ground-truth
+    // pixel FORMULA (syntheticPngs scaladoc) into the identical
+    // integer-DCT replica: the gate therefore proves the whole
+    // encode→decode→luma→hash round trip end-to-end — any defect in
+    // the codec path or luma arithmetic diverges the hash. Per-blob
+    // work is O(1); the only shuffle is the hash-keyed group —
+    // dedup_exact shape, scales by construction.
+    "phash_image" -> graft.QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val withHash = syntheticPngs(s, 96)
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val codec = new StubCodec
+            it.map { case (id, png) =>
+              val luma = codec.decodeLuma(png)
+              (id, graft.functions.Phash64.hash(luma.map(_.toByte)))
+            }
+          }.toDF("img_id", "phash")
+        val groups = withHash.groupBy("phash")
+          .agg(min("img_id").as("rep_id"), count(lit(1)).as("n_members"))
+        withHash.join(groups, "phash")
+          .select(col("img_id"), col("phash"), col("rep_id"),
+            (col("n_members") > 1L).as("is_dup"))
+          .orderBy("img_id")
+      },
+      """WITH kt AS (SELECT
+           [[16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384,16384],
+            [16305,15679,14449,12665,10394,7723,4756,1606,-1606,-4756,-7723,-10394,-12665,-14449,-15679,-16305],
+            [16069,13623,9102,3196,-3196,-9102,-13623,-16069,-16069,-13623,-9102,-3196,3196,9102,13623,16069],
+            [15679,10394,1606,-7723,-14449,-16305,-12665,-4756,4756,12665,16305,14449,7723,-1606,-10394,-15679],
+            [15137,6270,-6270,-15137,-15137,-6270,6270,15137,15137,6270,-6270,-15137,-15137,-6270,6270,15137],
+            [14449,1606,-12665,-15679,-4756,10394,16305,7723,-7723,-16305,-10394,4756,15679,12665,-1606,-14449],
+            [13623,-3196,-16069,-9102,9102,16069,3196,-13623,-13623,3196,16069,9102,-9102,-16069,-3196,13623],
+            [12665,-7723,-15679,1606,16305,4756,-14449,-10394,10394,14449,-4756,-16305,-1606,15679,7723,-12665]]
+           AS K),
+         imgs AS (
+           SELECT CAST(r.range AS BIGINT) AS img_id,
+                  CAST(CASE WHEN r.range < 48 THEN r.range % 12
+                            ELSE r.range END AS BIGINT) AS p
+           FROM range(0, 96) r),
+         lum AS (
+           SELECT img_id,
+                  [(299 * (((s % 16) * (16 + p) + (s // 16) * 7 + p * 31) % 256)
+                    + 587 * (((s % 16) * 5 + (s // 16) * (11 + p) + p * 13) % 256)
+                    + 114 * (((s % 16) * 3 + (s // 16) * 29 + p * 47) % 256))
+                   // 1000
+                   for s in range(0, 256)] AS g
+           FROM imgs),
+         rowp AS (
+           SELECT img_id,
+                  [list_sum([g[(i % 16) * 16 + x + 1] * K[i // 16 + 1][x + 1]
+                             for x in range(0, 16)])
+                   for i in range(0, 128)] AS t
+           FROM lum CROSS JOIN kt),
+         colp AS (
+           SELECT img_id,
+                  [list_sum([K[i // 8 + 1][y + 1] * t[(i % 8) * 16 + y + 1]
+                             for y in range(0, 16)])
+                   for i in range(0, 64)] AS c
+           FROM rowp CROSS JOIN kt),
+         hashed AS (
+           SELECT img_id,
+                  CAST(list_sum(
+                    [CASE WHEN c[i + 1] > list_sort(c[2:64])[32]
+                          THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
+                     for i in range(1, 64)]) AS BIGINT) AS phash
+           FROM colp),
+         groups AS (
+           SELECT phash, min(img_id) AS rep_id, count(*) AS n_members
+           FROM hashed GROUP BY phash)
+         SELECT h.img_id, h.phash, g.rep_id, g.n_members > 1 AS is_dup
+         FROM hashed h JOIN groups g USING (phash)
+         ORDER BY h.img_id"""),
 
     "binary_meta" -> graft.QueryDef(
       (s, d) =>

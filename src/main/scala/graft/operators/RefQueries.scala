@@ -83,15 +83,22 @@ object RefQueries {
           // sum sits past the order-independent digits — the sf1 scale
           // step flipped the last digit between partition-order and
           // sequential summation. Decimal addition is associative; the
-          // final cast to double is transport-only.
+          // gate transports the sum as its EXACT decimal string rather
+          // than a double (round-7 ADVICE: DuckDB's int128/10^scale →
+          // double conversion rounds in two steps, so a 1-ulp
+          // divergence from Spark's BigDecimal.doubleValue was
+          // possible for non-representable sums; the string rendering
+          // of a scale-4 decimal is identical by construction).
           .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(28,4)").cast("double").as("total_sales"))
-          .orderBy(col("total_sales").desc, col("country")),
+            .cast("decimal(28,4)").as("_ts"))
+          .orderBy(col("_ts").desc, col("country"))
+          .select(col("country"), col("_ts").cast("string").as("total_sales")),
       """SELECT n_name AS country,
                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-                          AS DECIMAL(28,4)) AS DOUBLE) AS total_sales
+                          AS DECIMAL(28,4)) AS STRING) AS total_sales
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY total_sales DESC, country"""))
+         GROUP BY n_name
+         ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,4))) DESC, country"""))
 }

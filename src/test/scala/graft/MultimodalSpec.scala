@@ -62,4 +62,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == expected)
     assert(frames.forall(_.frame_bytes.length <= 16))
   }
+
+  test("phash_image fixtures: real PNG decode reproduces the formula pixels exactly") {
+    // the gate's whole proof rests on decodeLuma(ImageIO png) equalling
+    // the generator formula — check it directly for a few fixtures,
+    // including that the IMAGE branch (not the raw-bytes fallback) ran
+    val rows = Multimodal.syntheticPngs(spark, 96)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(rows.length == 96)
+    val codec = new Multimodal.StubCodec
+    for ((id, png) <- rows.take(4) ++ rows.takeRight(2)) {
+      assert(png.length > 8 &&
+        (png(1) & 0xff) == 'P' && (png(2) & 0xff) == 'N' && (png(3) & 0xff) == 'G',
+        s"fixture $id is not a PNG")
+      val luma = codec.decodeLuma(png)
+      assert(luma.length == 256, s"fixture $id fell back to raw bytes")
+      val p = (if (id < 48) id % 12 else id).toInt
+      for (s <- 0 until 256) {
+        val (x, y) = (s % 16, s / 16)
+        val r = (x * (16 + p) + y * 7 + p * 31) % 256
+        val g = (x * 5 + y * (11 + p) + p * 13) % 256
+        val b = (x * 3 + y * 29 + p * 47) % 256
+        val expected = (299 * r + 587 * g + 114 * b) / 1000
+        assert(luma(s) == expected,
+          s"fixture $id pixel $s: decoded ${luma(s)} != formula $expected")
+      }
+    }
+    // dup structure: first 48 ids collapse to 12 pHash groups of 4
+    val hashes = rows.map { case (id, png) =>
+      (id, graft.functions.Phash64.hash(codec.decodeLuma(png).map(_.toByte)))
+    }
+    val firstGroups = hashes.filter(_._1 < 48).groupBy(_._2)
+    assert(firstGroups.size == 12 && firstGroups.values.forall(_.length == 4),
+      s"expected 12 groups of 4, got ${firstGroups.view.mapValues(_.length).toMap}")
+  }
 }

@@ -21,26 +21,42 @@ ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 
 qs, qb = small["queries"], big["queries"]
 shared = sorted(set(qs) & set(qb))
-vals = sorted(v for v in qs.values() if v >= 0)
-floor = vals[len(vals) // 10] if vals else 0.0
+
+
+def p10_floor(d):
+    # per-run overhead floor: each run's own 10th-percentile timing —
+    # subtracting the SMALL run's floor from the big run understated
+    # big-run overhead and inflated net ratios for cheap queries
+    # (round-7 ADVICE item)
+    vals = sorted(v for v in d.values() if v >= 0)
+    return vals[len(vals) // 10] if vals else 0.0
+
+
+floor_s, floor_b = p10_floor(qs), p10_floor(qb)
 
 rows = []
 for k in shared:
     s, b = qs[k], qb[k]
     if s < 0 or b < 0:
         continue
-    net_s = max(s - floor, 1e-3)
-    net_b = max(b - floor, 0.0)
+    net_s = max(s - floor_s, 1e-3)
+    net_b = max(b - floor_b, 0.0)
     rows.append((net_b / net_s, k, s, b))
 rows.sort(reverse=True)
 
-print(f"floor={floor:.3f}s  data_ratio={ratio}  shared={len(rows)}")
+print(f"floor_small={floor_s:.3f}s floor_big={floor_b:.3f}s "
+      f"data_ratio={ratio}  shared={len(rows)}")
 print(f"{'query':34s} {'small':>8s} {'big':>8s} {'net_ratio':>9s}  verdict")
 sup = 0
 for r, k, s, b in rows:
-    if s <= floor * 1.5:
+    if s <= floor_s * 2.0:
+        # near-floor small readings carry no slope signal: the net
+        # ratio is division by (almost) the floor estimate's noise
         verdict = "overhead-bound"
-    elif r > ratio * 1.5:
+    elif r > ratio * 1.5 and b > max(2.0, 5.0 * floor_b):
+        # require the big run to be materially large in absolute terms
+        # before alleging superlinearity — a 0.8s big reading cannot
+        # evidence a scale-killer regardless of its ratio
         verdict = "SUPERLINEAR?"
         sup += 1
     elif r > ratio:
