@@ -61,6 +61,23 @@ object GenScale {
     val out = new Array[String](n)
     var j = 0
     while (j < n) { out(j) = toks(((j.toLong * k) % n).toInt); j += 1 }
+    // Decade extension (round 8): the 12-stride family saturates past
+    // ~12 copies — copies sharing a stride collapsed to IDENTICAL
+    // text (measured at the first sf10 attempt: 99% exact-dup mass,
+    // 48-copy identity families, which made every pair operator's
+    // OUTPUT quadratic in the scale multiplier — a generator
+    // artifact, not corpus growth). Copies ≥ 10 therefore substitute
+    // every 5th token with a copy-tagged variant: same-stride copies
+    // now differ, ≥3/5 of shingles touch a substituted position so
+    // cross-copy Jaccard stays ≲ 0.25 (below every dedup threshold),
+    // and vocabulary grows with corpus size (Heaps-like — the
+    // saturated base vocabulary was exactly the adversarial df
+    // density). Copies 0–9 are BIT-EXACT to the round-7 generator,
+    // so data/sf1 and its committed proofs regenerate unchanged.
+    if (c >= 10) {
+      var j2 = c % 5
+      while (j2 < n) { out(j2) = out(j2) + "~" + c; j2 += 5 }
+    }
     out.mkString(" ")
   }
 

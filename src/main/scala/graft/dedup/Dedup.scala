@@ -128,9 +128,27 @@ object Dedup {
 
   def sharedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrBuild(s, d) {
-      ngramJaccardPairs(Tables.documents(s, d), 0.5,
-        postingsSet = Some(sharedPostings(s, d)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Pair-graph source selection for the DENSE-decade regime
+      // (round-8 sf10 probe): the exact inverted-index graph emits
+      // Σ df·(df−1) candidate rows, which on this corpus's saturated
+      // vocabulary is infeasible by construction at sf10 (measured
+      // spectrum: ~1.9e10 DISTINCT qualifying pairs would have to be
+      // hash-aggregated — hundreds of GB of agg state, not merely
+      // slow). The bounded production path is the LSH pair graph the
+      // catalog already proves as dedup_minhash (D3): linear
+      // signatures + output-bounded band join, recall ≈ 0.87 at the
+      // J = 0.5 boundary and ≥ 0.999 at J ≥ 0.7 (its committed
+      // documented trade). Opt-in via SPARK_GRAFT_PAIRS=lsh so the
+      // correctness gate keeps the lossless graph at test SFs — the
+      // gate never sets it; scale benches and dense-corpus
+      // deployments do.
+      val base =
+        if (sys.env.get("SPARK_GRAFT_PAIRS").contains("lsh"))
+          minhashPairs(Tables.documents(s, d), 0.5)
+        else
+          ngramJaccardPairs(Tables.documents(s, d), 0.5,
+            postingsSet = Some(sharedPostings(s, d)))
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The corpus POSTINGS as a shared materialized asset, one level
@@ -406,13 +424,33 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** D5 core — embedding near-dup within a blocking key (here the class
-    * label; at 100 TB the block is an LSH bucket — see
-    * similarity.Knn.lshCandidates). Cosine via the native codegen
-    * expression.
+  /** D5 core — embedding near-dup within a blocking key. BOUNDED BY
+    * CONSTRUCTION (round-8 sf10 probe finding): label blocks GROW with
+    * the corpus (sf1: 2k vectors/label; sf10: 20k → the exact
+    * label-blocked self-join is ~2e9 pairs ≈ 1 TB of shuffle — it
+    * filled the probe host's disk, not merely ran slow). The
+    * dispatcher measures Σ n·(n−1) over label blocks against an
+    * absolute `pairBudget` (default 1e8 — every committed SF stays on
+    * the lossless exact plan) and above it switches to hyperplane-LSH
+    * blocking WITHIN label ([[embeddingPairsLsh]]): the 32-bit
+    * signature knn_lsh already proves bit-exact, sliced as 4 tables ×
+    * 8 bits — P(table collision) = (1−θ/π)⁸, recall at cos ≥ 0.99
+    * (θ ≈ 8.1°) = 1−(1−0.955⁸)⁴ ≈ 0.991, random-pair floor 4/256 per
+    * pair. Candidates get exact-cosine verification, so precision
+    * stays 1. The DuckDB oracle replicates both branches and the
+    * selection scalar (guarded UNION, the containment_pairs pattern).
     */
-  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingPairs(emb: DataFrame, threshold: Double,
+      pairBudget: Long = 100000000L): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
+      .head().getLong(0)
+    if (spent <= pairBudget) embeddingPairsExact(e, threshold)
+    else embeddingPairsLsh(e, threshold)
+  }
+
+  private def embeddingPairsExact(e: DataFrame, threshold: Double): DataFrame =
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -421,6 +459,37 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 4).as("cosine"))
+
+  /** The bounded branch: hyperplane-LSH buckets within each label
+    * (4 tables × 8 bits of the proven 32-plane signature), exact
+    * cosine verification on distinct candidates only. Work = linear
+    * signatures + output-bounded bucket joins; the random-pair
+    * candidate floor is n_block²·4/256 — tune bits-per-table up at
+    * larger block sizes (documented trade, same dial as knn_lsh).
+    */
+  def embeddingPairsLsh(e: DataFrame, threshold: Double,
+      tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val sig = e.select(col("vec_id"), col("label"),
+      HashOps.hyperplaneSig(col("embedding"), 32).as("sig"))
+    val bandCols = array((0 until tables).map(t =>
+      shiftright(col("sig"), t * bitsPerTable)
+        .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)
+    val banded = sig.select(col("vec_id"), col("label"), posexplode(bandCols))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "bkey")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
   }
 
   /** DuckDB-side replica of `HashOps.SimHash64` — murmur3_32
@@ -664,13 +733,14 @@ object Dedup {
       * 500/500 signatures); then 8×4-bit buckets, candidate join,
       * exact-cosine rerank.
       */
-    val knnLshSql: String = {
+    /** Shared CTE chain `pi..sigs`: the bit-exact 32-plane hyperplane
+      * signature of every embeddings row (see knnLshSql scaladoc for
+      * the murmur replication details). Reused by the knn_lsh oracle
+      * and the dedup_embedding LSH branch (round 8).
+      */
+    private val hyperplaneSigsSql: String = {
       val mixChain = mixh(mixh(mixh("1540483477", "2516344202"), "p"), "i")
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      val cos = s"(${dot("qe.embedding", "ce.embedding")} / " +
-        s"(sqrt(${dot("qe.embedding", "qe.embedding")}) * sqrt(${dot("ce.embedding", "ce.embedding")})))"
-      s"""WITH pi AS (SELECT p, i
+      s"""pi AS (SELECT p, i
             FROM unnest(range(0,32)) t(p), unnest(range(0,64)) u(i)),
           m0 AS (SELECT p, i, $mixChain AS h FROM pi),
           a0 AS (SELECT p, i, xor(xor(h, 2), xor(h, 2)//65536) AS a1 FROM m0),
@@ -692,7 +762,53 @@ object Dedup {
               CASE WHEN p = 31 THEN -2147483648
                    ELSE (CAST(1 AS BIGINT) << p) END
               ELSE 0 END) AS BIGINT) AS sig
-            FROM dots GROUP BY vec_id),
+            FROM dots GROUP BY vec_id)"""
+    }
+
+    /** dedup_embedding oracle: BOTH plan-selected branches (exact
+      * label-blocked self-join ≤ budget; 4-table × 8-bit hyperplane
+      * LSH within label + exact-cosine verify above it) plus the
+      * selection scalar Σ n·(n−1) over label blocks — mirrors the
+      * containment_pairs guarded-UNION pattern.
+      */
+    val embeddingPairsSql: String = {
+      def dcos(a: String, b: String) = duckCosine(a, b)
+      s"""WITH $hyperplaneSigsSql,
+          lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+          spent AS (SELECT coalesce(sum(n * (n - 1)), 0) AS v FROM lc),
+          epairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(${dcos("a.embedding", "b.embedding")}, 4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE (SELECT v FROM spent) <= 100000000
+              AND ${dcos("a.embedding", "b.embedding")} >= 0.99),
+          lbuckets AS (SELECT s2.vec_id, e.label,
+              t, (sig >> (t * 8)) & 255 AS bkey
+            FROM sigs s2 JOIN embeddings e USING (vec_id),
+                 unnest(range(0, 4)) u(t)),
+          lcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM lbuckets a JOIN lbuckets b
+              ON a.label = b.label AND a.t = b.t AND a.bkey = b.bkey
+                 AND a.vec_id < b.vec_id
+            WHERE (SELECT v FROM spent) > 100000000),
+          lpairs AS (
+            SELECT vec_a, vec_b,
+                   round(${dcos("ea.embedding", "eb.embedding")}, 4) AS cosine
+            FROM lcand
+            JOIN embeddings ea ON ea.vec_id = vec_a
+            JOIN embeddings eb ON eb.vec_id = vec_b
+            WHERE ${dcos("ea.embedding", "eb.embedding")} >= 0.99)
+          SELECT * FROM epairs UNION ALL SELECT * FROM lpairs
+          ORDER BY vec_a, vec_b"""
+    }
+
+    val knnLshSql: String = {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      val cos = s"(${dot("qe.embedding", "ce.embedding")} / " +
+        s"(sqrt(${dot("qe.embedding", "qe.embedding")}) * sqrt(${dot("ce.embedding", "ce.embedding")})))"
+      s"""WITH $hyperplaneSigsSql,
           buckets AS (SELECT vec_id, t, (sig >> (t*4)) & 15 AS bucket
             FROM sigs, unnest(range(0, 8)) u(t)),
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -960,12 +1076,7 @@ object Dedup {
       (s, d) =>
         embeddingPairs(Tables.embeddings(s, d), 0.99)
           .orderBy("vec_a", "vec_b"),
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(${duckCosine("a.embedding", "b.embedding")}, 4) AS cosine
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.99
-          ORDER BY vec_a, vec_b"""))
+      MurmurSql.embeddingPairsSql))
 
   /** D78 — LSH evaluation harness: MinHash-LSH pair recall/precision
     * against the exact inverted-index pairs at the same threshold — the

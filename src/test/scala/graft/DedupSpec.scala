@@ -70,6 +70,31 @@ class DedupSpec extends AnyFunSuite {
     // what the LSH branch documents as its asymmetric recall trade)
   }
 
+  test("embedding pairs budget dispatch: LSH branch catches planted dups, precision 1") {
+    import spark.implicits._
+    // the gate corpora have ZERO qualifying pairs at 0.99, so plant:
+    // v2 = exact copy of v1 (identical signature -> guaranteed recall),
+    // v3 = v1 with one slightly perturbed dim (cos > 0.99), v4 far away
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val planted = Seq(
+      (1L, base, 0), (2L, base.clone(), 0), (3L, near, 0), (4L, far, 0),
+      (5L, far.clone(), 1)) // different label: must NOT pair with 4
+      .toDF("vec_id", "embedding", "label")
+    val exact = Dedup.embeddingPairs(planted, 0.99)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairs(planted, 0.99, pairBudget = 0L)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)) && exact.contains((1L, 3L)),
+      s"exact missing planted pairs: $exact")
+    assert(!exact.exists(p => p._1 == 4L || p._2 == 4L),
+      "label blocking must keep 4 and 5 apart")
+    assert(lsh.subsetOf(exact), s"LSH false positives: ${lsh -- exact}")
+    assert(lsh.contains((1L, 2L)),
+      "identical vectors share every signature table - LSH cannot miss them")
+  }
+
   test("simhash pairs are symmetric-free, within hamming bound, and catch exact dups") {
     val pairs = Dedup.simhashPairs(docs, 3).collect()
     pairs.foreach { r =>
