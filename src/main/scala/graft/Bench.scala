@@ -71,6 +71,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle files of dereferenced stages are only deleted when a
+      // DRIVER GC collects their RDD references; with a large heap the
+      // JVM can go 30+ min without one, so a multi-query session
+      // accumulates every past query's shuffle on local disk. Measured
+      // at the sf10 probe (round 8): ~10 GB/min of dead shuffle, disk
+      // 97% full and a bench abort before the first natural full GC.
+      // The standard mitigation is a short periodic-GC interval — the
+      // same setting a long-lived cluster driver would run with.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footer caches so the first timed query

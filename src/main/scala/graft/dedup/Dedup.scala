@@ -264,7 +264,8 @@ object Dedup {
     * exact path remains lossless and is always taken when affordable.
     */
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
-      numHashes: Int = 128, bands: Int = 64): DataFrame = {
+      numHashes: Int = 128, bands: Int = 64,
+      bandCap: Long = 256L): DataFrame = {
     val rows = numHashes / bands
     // empty shingle sets (<3 tokens) minhash to the all-MaxValue
     // sentinel and would collide in every band (see bandProfile)
@@ -281,8 +282,17 @@ object Dedup {
         b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // same absolute band-bucket cap as minhashPairs (see its scaladoc):
+    // the 2-row bands here collide even more readily on a small shingle
+    // universe (measured 19.1M candidates at sf10, max bucket 456);
+    // sf1's max bucket is 105, so every committed proof is unchanged
+    val keptBuckets = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= lit(bandCap))
+      .select("band", "band_key")
+    val kept = banded.join(keptBuckets, Seq("band", "band_key"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -340,7 +350,8 @@ object Dedup {
     * the shingle arrays back only for candidates.
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      bandCap: Long = 256L): DataFrame = {
     val rows = numHashes / bands
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     val sig = sh.withColumn("sig", HashOps.minhash(col("shingles"), numHashes))
@@ -349,8 +360,30 @@ object Dedup {
         b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // ABSOLUTE band-bucket cap (round-8 sf10 finding): on a
+    // small-universe corpus the globally-minimal-hash shingles appear
+    // in a large fraction of docs, so band buckets fill with UNRELATED
+    // docs that happen to contain them — bucket membership is driven
+    // by the shared vocabulary, not pairwise Jaccard, and the band
+    // join's candidate mass grows quadratically in n at fixed
+    // vocabulary (measured: 32.3M candidates at sf1 → 687M at sf10,
+    // 93% from buckets > 100 docs whose members' snippets share no
+    // provenance). Dropping buckets larger than an absolute cap is
+    // the band-space mirror of the hot-shingle df cap: per-bucket
+    // work becomes O(cap²), total candidates O(n_buckets·cap²) =
+    // linear in corpus. Recall trade: a true pair in a dropped bucket
+    // still collides in its other bands (P ≥ 1−(1−J^r)^(bands−1) ≈
+    // 0.86 at J = 0.5), and at every committed proof SF the cap never
+    // engages (max bucket 116 at sf1 < 256), so sf0.01–sf1 results
+    // are bit-identical. The oracle replicates the cap, keeping the
+    // entry hash-provable at any scale on either side of it.
+    val keptBuckets = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= lit(bandCap))
+      .select("band", "band_key")
+    val kept = banded.join(keptBuckets, Seq("band", "band_key"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -639,8 +672,12 @@ object Dedup {
 
     val minhashPairsSql: String =
       s"""$minhashSigBandsSql,
+          bcap AS (SELECT bnd, bkey FROM bands
+                   GROUP BY bnd, bkey HAVING count(*) <= 256),
+          bandsk AS (SELECT b.doc_id, b.bnd, b.bkey
+                     FROM bands b JOIN bcap USING (bnd, bkey)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM bandsk a JOIN bandsk b
               ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
           verified AS (
             SELECT doc_a, doc_b,
@@ -706,8 +743,12 @@ object Dedup {
             FROM uls),
           bands2 AS (SELECT doc_id, bnd, s[2*bnd+1:2*bnd+2] AS bkey
             FROM sigw, unnest(range(0, 64)) AS u(bnd)),
+          bcap2 AS (SELECT bnd, bkey FROM bands2
+                    GROUP BY bnd, bkey HAVING count(*) <= 256),
+          bands2k AS (SELECT b.doc_id, b.bnd, b.bkey
+                      FROM bands2 b JOIN bcap2 USING (bnd, bkey)),
           lcand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-            FROM bands2 a JOIN bands2 b
+            FROM bands2k a JOIN bands2k b
               ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id
             WHERE (SELECT v FROM cspent) > 20000000),
           ldir AS (SELECT x AS doc_a, y AS doc_b FROM lcand
