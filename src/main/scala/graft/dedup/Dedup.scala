@@ -263,6 +263,32 @@ object Dedup {
     * per decade (LSH Ensemble, Zhu et al. VLDB'16) — the sub-budget
     * exact path remains lossless and is always taken when affordable.
     */
+  /** Shared candidate expansion for the banded LSH joins: ONE shuffle
+    * of the (doc_id, band, band_key) table, each bucket materialized as
+    * a sorted id list, buckets above `bandCap` dropped (the absolute
+    * cap — scaladoc at minhashPairs), then the i<j pairs emitted per
+    * bucket by a bounded higher-order expansion. This replaces the
+    * count → join-back → band self-join formulation, which (a) consumed
+    * `banded` twice, re-computing the minhash signatures per consumer,
+    * and (b) handed the planner a same-key join over the full banded
+    * table — measured Java-heap OOM at the round-8 sf10 probe (48 g
+    * heap, 32 threads, stage-240 shuffle read). Here per-bucket state
+    * is ≤ cap ids and per-bucket output ≤ C(cap,2) pairs, so task
+    * memory is O(cap²) regardless of corpus size — the property the
+    * cap was introduced to guarantee now holds for the physical plan,
+    * not just the candidate count.
+    */
+  private def bandedCappedPairs(banded: DataFrame, bandCap: Long): DataFrame =
+    banded.groupBy("band", "band_key")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= lit(bandCap))
+      .select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(
+          filter(col("ids"), (_, j) => j > i),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
       bandCap: Long = 256L): DataFrame = {
@@ -285,19 +311,11 @@ object Dedup {
     // same absolute band-bucket cap as minhashPairs (see its scaladoc):
     // the 2-row bands here collide even more readily on a small shingle
     // universe (measured 19.1M candidates at sf10, max bucket 456);
-    // sf1's max bucket is 105, so every committed proof is unchanged
-    val keptBuckets = banded.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= lit(bandCap))
-      .select("band", "band_key")
-    val kept = banded.join(keptBuckets, Seq("band", "band_key"))
-    val cand = kept.as("a")
-      .join(kept.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .distinct()
+    // sf1's max bucket is 105, so every committed proof is unchanged.
+    // Same one-shuffle per-bucket expansion as minhashPairs (see the
+    // memory note there — the count+join-back formulation OOM'd at sf10).
+    val cand = bandedCappedPairs(banded, bandCap)
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
     val dir = cand.select(col("x").as("doc_a"), col("y").as("doc_b"))
       .union(cand.select(col("y").as("doc_a"), col("x").as("doc_b")))
     dir
@@ -377,18 +395,7 @@ object Dedup {
     // engages (max bucket 116 at sf1 < 256), so sf0.01–sf1 results
     // are bit-identical. The oracle replicates the cap, keeping the
     // entry hash-provable at any scale on either side of it.
-    val keptBuckets = banded.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= lit(bandCap))
-      .select("band", "band_key")
-    val kept = banded.join(keptBuckets, Seq("band", "band_key"))
-    val cand = kept.as("a")
-      .join(kept.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandedCappedPairs(banded, bandCap)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

@@ -163,6 +163,28 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(capped.head.getDouble(2) - 0.625) < 1e-9)
   }
 
+  test("minhash band-bucket cap drops oversized buckets, keeps small ones") {
+    import spark.implicits._
+    // 10 byte-identical docs (identical signatures → they share a
+    // size-10 bucket in EVERY band) plus one isolated near-dup pair
+    // whose buckets are size 2. With the cap below 10 the identical
+    // family's buckets are all dropped — no candidate survives from
+    // them in ANY band — while the pair's size-2 buckets are kept.
+    val same = (1 to 10).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val pair = Seq((21L, s"$tail start"), (22L, s"$tail end"))
+    val docsDf = (same ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docsDf, 0.5, bandCap = 5L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((21L, 22L)), s"capped = $capped")
+    // default cap (256) never engages on this corpus: all C(10,2)
+    // identical pairs plus the near-dup pair come back
+    val open = Dedup.minhashPairs(docsDf, 0.5).count()
+    assert(open == 10L * 9 / 2 + 1, s"open = $open")
+  }
+
   test("incremental probe equals full pairing restricted to base×batch") {
     import spark.implicits._
     val base = docs.filter(col("doc_id") < 400)
