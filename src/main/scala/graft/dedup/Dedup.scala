@@ -480,6 +480,33 @@ object Dedup {
     * stays 1. The DuckDB oracle replicates both branches and the
     * selection scalar (guarded UNION, the containment_pairs pattern).
     */
+  /** Gate corpus for dedup_embedding: the raw embeddings plus ONE
+    * perturbed copy of every 7th vector (vec_id + 1e8, same label,
+    * dim-0 scaled by 1.02 + 0.001 in double then rounded back to
+    * float). The synthetic embeddings are near-orthogonal (max
+    * within-label cosine ≈ 0.47 at sf0.01), so a 0.99-threshold
+    * near-dup query over the raw table is provably EMPTY at every SF —
+    * a hash match of two empty results exercises schema and dispatch
+    * but not the cosine/verify/rounding pipeline. The copies give the
+    * gate ~n/7 true pairs (cos ≈ 0.9998, far from the 0.99 boundary
+    * and from the 4 dp rounding grid) while adding no cross-original
+    * pairs (copy-vs-other cosine tracks the ≤ 0.47 original spread).
+    * Float exactness: both engines compute dim0' = float(double(x) ·
+    * 1.02 + 0.001) — identical IEEE double ops + one round-to-float —
+    * so the seeded corpora are bit-identical, the same discipline as
+    * the phash_image fixture formula.
+    */
+  def seededEmbeddings(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val copies = base.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+      .select((col("vec_id") + lit(100000000L)).as("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === lit(0),
+            (x.cast("double") * lit(1.02) + lit(0.001)).cast("float"))
+            .otherwise(x)).as("embedding"))
+    base.unionByName(copies)
+  }
+
   def embeddingPairs(emb: DataFrame, threshold: Double,
       pairBudget: Long = 100000000L): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
@@ -782,11 +809,13 @@ object Dedup {
       * exact-cosine rerank.
       */
     /** Shared CTE chain `pi..sigs`: the bit-exact 32-plane hyperplane
-      * signature of every embeddings row (see knnLshSql scaladoc for
+      * signature of every row of `tbl` (see knnLshSql scaladoc for
       * the murmur replication details). Reused by the knn_lsh oracle
-      * and the dedup_embedding LSH branch (round 8).
+      * and the dedup_embedding LSH branch (round 8); parameterized by
+      * source table so the seeded-corpus gate can sign its augmented
+      * CTE instead of the raw embeddings table.
       */
-    private val hyperplaneSigsSql: String = {
+    private def hyperplaneSigsSqlFor(tbl: String): String = {
       val mixChain = mixh(mixh(mixh("1540483477", "2516344202"), "p"), "i")
       s"""pi AS (SELECT p, i
             FROM unnest(range(0,32)) t(p), unnest(range(0,64)) u(i)),
@@ -804,7 +833,7 @@ object Dedup {
           dots AS (SELECT e.vec_id, pl.p,
             list_sum(list_transform(range(1, 65), i ->
               CAST(e.embedding[i] AS DOUBLE) * pl.pl[i])) AS dot
-            FROM embeddings e, planes pl),
+            FROM $tbl e, planes pl),
           sigs AS (SELECT vec_id,
             CAST(sum(CASE WHEN dot >= 0 THEN
               CASE WHEN p = 31 THEN -2147483648
@@ -813,27 +842,44 @@ object Dedup {
             FROM dots GROUP BY vec_id)"""
     }
 
+    private val hyperplaneSigsSql: String = hyperplaneSigsSqlFor("embeddings")
+
     /** dedup_embedding oracle: BOTH plan-selected branches (exact
       * label-blocked self-join ≤ budget; 4-table × 8-bit hyperplane
       * LSH within label + exact-cosine verify above it) plus the
       * selection scalar Σ n·(n−1) over label blocks — mirrors the
-      * containment_pairs guarded-UNION pattern.
+      * containment_pairs guarded-UNION pattern. Runs over the SEEDED
+      * corpus `embx` (originals ∪ one perturbed float-exact copy of
+      * every 7th vector — the same derivation the engine entry makes),
+      * so the gate has true near-dup pairs to find at every SF: the
+      * raw synthetic embeddings are near-orthogonal (max within-label
+      * cosine ≈ 0.47 at sf0.01), which made the 0.99-threshold result
+      * empty — a hash match of two empty sets proves schema, not the
+      * cosine/dispatch/rounding pipeline.
       */
     val embeddingPairsSql: String = {
       def dcos(a: String, b: String) = duckCosine(a, b)
-      s"""WITH $hyperplaneSigsSql,
-          lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      s"""WITH embx AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000000, label,
+              CAST(list_transform(range(1, 65), i -> CASE WHEN i = 1
+                  THEN CAST(CAST(embedding[1] AS DOUBLE) * 1.02 + 0.001 AS FLOAT)
+                  ELSE embedding[i] END) AS FLOAT[]) AS embedding
+            FROM embeddings WHERE vec_id % 7 = 0),
+          ${hyperplaneSigsSqlFor("embx")},
+          lc AS (SELECT label, count(*) AS n FROM embx GROUP BY label),
           spent AS (SELECT coalesce(sum(n * (n - 1)), 0) AS v FROM lc),
           epairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(${dcos("a.embedding", "b.embedding")}, 4) AS cosine
-            FROM embeddings a JOIN embeddings b
+            FROM embx a JOIN embx b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE (SELECT v FROM spent) <= 100000000
               AND ${dcos("a.embedding", "b.embedding")} >= 0.99),
           lbuckets AS (SELECT s2.vec_id, e.label,
               t, (sig >> (t * 8)) & 255 AS bkey
-            FROM sigs s2 JOIN embeddings e USING (vec_id),
+            FROM sigs s2 JOIN embx e USING (vec_id),
                  unnest(range(0, 4)) u(t)),
           lcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM lbuckets a JOIN lbuckets b
@@ -844,8 +890,8 @@ object Dedup {
             SELECT vec_a, vec_b,
                    round(${dcos("ea.embedding", "eb.embedding")}, 4) AS cosine
             FROM lcand
-            JOIN embeddings ea ON ea.vec_id = vec_a
-            JOIN embeddings eb ON eb.vec_id = vec_b
+            JOIN embx ea ON ea.vec_id = vec_a
+            JOIN embx eb ON eb.vec_id = vec_b
             WHERE ${dcos("ea.embedding", "eb.embedding")} >= 0.99)
           SELECT * FROM epairs UNION ALL SELECT * FROM lpairs
           ORDER BY vec_a, vec_b"""
@@ -1119,10 +1165,13 @@ object Dedup {
         .orderBy("doc_a", "doc_b"),
       MurmurSql.simhashPairsSql),
 
-    // D5 — embedding cosine near-dup, label-blocked.
+    // D5 — embedding cosine near-dup, label-blocked. Gated over the
+    // SEEDED corpus (scaladoc at seededEmbeddings): the raw synthetic
+    // vectors have no 0.99-cosine pairs at any SF, so the seeding is
+    // what makes this gate test the pipeline, not the empty set.
     "dedup_embedding" -> QueryDef(
       (s, d) =>
-        embeddingPairs(Tables.embeddings(s, d), 0.99)
+        embeddingPairs(seededEmbeddings(Tables.embeddings(s, d)), 0.99)
           .orderBy("vec_a", "vec_b"),
       MurmurSql.embeddingPairsSql))
 
