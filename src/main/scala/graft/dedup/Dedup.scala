@@ -572,6 +572,17 @@ object Dedup {
     * reproducible once the signature is.
     */
   private[graft] object MurmurSql {
+    /** DuckDB-side exact-double cosine (matches the Spark expression's
+      * arithmetic order bit-for-bit; the builtin list_cosine_similarity
+      * accumulates in float32 and diverges at ~1e-7). Defined HERE, not
+      * on the outer object, so MurmurSql's initializer is self-contained
+      * (see the outer forwarder's scaladoc for the init-order hazard).
+      */
+    private[graft] def duckCosine(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
     private def castB(e: String) = s"CAST($e AS BIGINT)"
     private def mulMod(e: String, c: String) =
       castB(s"((CAST($e AS HUGEINT) * $c) % 4294967296)")
@@ -844,6 +855,12 @@ object Dedup {
 
     private val hyperplaneSigsSql: String = hyperplaneSigsSqlFor("embeddings")
 
+    /** Public alias of the `pi..sigs` chain over the raw embeddings
+      * table, for oracles outside this object (knn_graph's
+      * budget-dispatched sub-blocking).
+      */
+    val embeddingSigsSql: String = hyperplaneSigsSql
+
     /** dedup_embedding oracle: BOTH plan-selected branches (exact
       * label-blocked self-join ≤ budget; 4-table × 8-bit hyperplane
       * LSH within label + exact-cosine verify above it) plus the
@@ -966,16 +983,20 @@ object Dedup {
           ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB-side exact-double cosine (matches the Spark expression's
-    * arithmetic order bit-for-bit; the builtin list_cosine_similarity
-    * accumulates in float32 and diverges at ~1e-7).
+  /** DuckDB-side exact-double cosine — forwards to the MurmurSql copy.
+    * The body LIVES inside MurmurSql so that object's initializer never
+    * calls back into this outer object: a MurmurSql-first load order
+    * (first external touch being e.g. `MurmurSql.sqlMinhashSql`) would
+    * otherwise re-enter Dedup's constructor mid-MurmurSql-init, and
+    * `defs` below would capture the not-yet-assigned MurmurSql vals as
+    * null (observed round 8: dedup_simhash/dedup_embedding oracles went
+    * null when an unrelated edit changed which symbol touched Dedup
+    * first). `defs` is additionally lazy for the same reason.
     */
   private[graft] def duckCosine(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+    MurmurSql.duckCosine(a, b)
 
-  val defs: Map[String, QueryDef] = Map(
+  lazy val defs: Map[String, QueryDef] = Map(
 
     // D1 — exact dedup by content hash: one hash-shuffle, keep the
     // smallest doc_id per group, report only actual duplicate groups.

@@ -13,6 +13,21 @@ object SqlSurface {
   val defs: Map[String, QueryDef] = Map(
 
     // Native expression called from SQL text: mean intra-label cosine.
+    //
+    // LINEAR IDENTITY (round-8 sf10 finding): the first formulation was
+    // the literal pairwise join — Σ n_l² cosines, measured 1.4 s at sf1
+    // → 119 s at sf10 (label count fixed ⇒ blocks grow linearly ⇒
+    // quadratic overall). But the mean pairwise cosine needs no pairs:
+    // Σ_{i≠j} cos(v_i,v_j) = ‖Σ v̂‖² − n for unit vectors v̂, so ONE
+    // linear scan (per-label 64-dim vector sum) replaces the join. For
+    // cross-engine determinism the unit vectors are quantized to ×10⁷
+    // integers first (the qmean4/D87 scaled-integer discipline): all
+    // sums are then exact integers, the only float folds are the fixed
+    // dim-order ‖S‖² and the final division, identical on both engines.
+    // Semantics shift vs the pairwise version is the 1e-7 quantization
+    // — far under the 4 dp output rounding. Overflow bound: per-row
+    // t ≈ 1e14, so a label block stays < 2^63 up to ~9e4 B rows.
+    // vec_dot (native expression) supplies the norm from SQL text.
     "sql_label_cohesion" -> QueryDef(
       (s, d) => {
         GraftExtensions.register(s)
@@ -21,21 +36,73 @@ object SqlSurface {
         // on one engine and +0.0 on the other (seen at sf0.1), and the
         // driver's compare is bit-sensitive
         s.sql(
-          """SELECT a.label,
-                    round(avg(vec_cosine(a.embedding, b.embedding)), 4) + 0
-                      AS mean_cosine,
-                    count(*) AS n_pairs
-             FROM embeddings_v a JOIN embeddings_v b
-               ON a.label = b.label AND a.vec_id < b.vec_id
-             GROUP BY a.label ORDER BY label""")
+          """WITH nv AS (
+               SELECT label, embedding,
+                      sqrt(vec_dot(embedding, embedding)) AS nrm
+               FROM embeddings_v),
+             q AS (
+               SELECT label,
+                      transform(embedding, x ->
+                        CAST(round(CAST(x AS DOUBLE) / nrm * 10000000.0, 0)
+                             AS BIGINT)) AS qv
+               FROM nv),
+             rt AS (
+               SELECT label, qv,
+                      aggregate(qv, CAST(0 AS BIGINT),
+                                (a, x) -> a + x * x) AS t
+               FROM q),
+             ds AS (
+               SELECT label, pos, sum(col) AS sd
+               FROM rt LATERAL VIEW posexplode(qv) AS pos, col
+               GROUP BY label, pos),
+             ag AS (
+               SELECT label,
+                      aggregate(
+                        transform(array_sort(collect_list(struct(pos, sd))),
+                                  z -> CAST(z.sd AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) AS ssq
+               FROM ds GROUP BY label),
+             tc AS (
+               SELECT label, sum(t) AS tt, count(*) AS n
+               FROM rt GROUP BY label)
+             SELECT ag.label,
+                    round((ag.ssq - CAST(tc.tt AS DOUBLE))
+                          / CAST(tc.n * (tc.n - 1) AS DOUBLE)
+                          / 100000000000000.0, 4) + 0 AS mean_cosine,
+                    tc.n * (tc.n - 1) DIV 2 AS n_pairs
+             FROM ag JOIN tc USING (label)
+             WHERE tc.n >= 2
+             ORDER BY label""")
       },
-      s"""SELECT a.label,
-                 round(avg(${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")}), 4) + 0
-                   AS mean_cosine,
-                 count(*) AS n_pairs
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-          GROUP BY a.label ORDER BY a.label"""),
+      s"""WITH nv AS (SELECT label, embedding,
+              sqrt(list_sum(list_transform(range(1, 65), i ->
+                CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                AS nrm
+            FROM embeddings),
+          q AS (SELECT label,
+              list_transform(range(1, 65), i ->
+                CAST(round(CAST(embedding[i] AS DOUBLE) / nrm * 10000000.0, 0)
+                     AS BIGINT)) AS qv
+            FROM nv),
+          rt AS (SELECT label, qv,
+              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS t
+            FROM q),
+          ds AS (SELECT label, u.i AS pos, CAST(sum(qv[u.i]) AS BIGINT) AS sd
+            FROM rt, unnest(range(1, 65)) u(i) GROUP BY label, u.i),
+          ag AS (SELECT label,
+              list_sum(list_transform(list(CAST(sd AS DOUBLE) ORDER BY pos),
+                x -> x * x)) AS ssq
+            FROM ds GROUP BY label),
+          tc AS (SELECT label, CAST(sum(t) AS BIGINT) AS tt, count(*) AS n
+            FROM rt GROUP BY label)
+          SELECT ag.label,
+                 round((ag.ssq - CAST(tc.tt AS DOUBLE))
+                       / CAST(tc.n * (tc.n - 1) AS DOUBLE)
+                       / 100000000000000.0, 4) + 0 AS mean_cosine,
+                 tc.n * (tc.n - 1) // 2 AS n_pairs
+          FROM ag JOIN tc USING (label)
+          WHERE tc.n >= 2
+          ORDER BY ag.label"""),
 
     // SQL shingling + minhash through registered functions —
     // oracle-checked: the DuckDB side recomputes the murmur3-exact

@@ -142,19 +142,44 @@ object Knn {
     // is blocked: candidates are restricted to the vector's label block
     // (= the coarse IVF/cluster assignment a real pipeline has already
     // computed), making the quadratic per-block and the whole pass one
-    // equi-join shuffle on the block key + a block-bounded window. For
-    // unblocked recall the LSH path (knn_lsh) substitutes collision
-    // buckets for label blocks — same plan shape.
+    // equi-join shuffle on the block key + a block-bounded window.
+    //
+    // BUDGET-DISPATCHED SUB-BLOCKING (round-8 sf10 finding): the label
+    // count is FIXED, so label blocks grow linearly with the corpus and
+    // the per-block quadratic grows quadratically overall — measured
+    // 4.0 s at sf1 → 1314 s at sf10 (the full-catalog probe's single
+    // dominant entry). The bound: when the ordered-pair mass
+    // Σ n_l·(n_l−1) exceeds an absolute budget, each label block is
+    // subdivided by the low b bits of the bit-exact 32-plane hyperplane
+    // signature (the knn_lsh machinery), with b the SMALLEST integer
+    // such that spent ≤ budget·2^b — so work per sub-block is budget-
+    // bounded and total work stays ~budget regardless of corpus size.
+    // Neighbors are then top-3 within (label, subkey): near vectors
+    // share signature bits with high probability, the LSH recall
+    // argument. b = 0 below budget, where subkey ≡ 0 and the semantics
+    // are EXACTLY the unsubdivided label block — one formula, both
+    // regimes, and the oracle replicates sig, b, and mask bit-exactly.
+    // At the gate: sf0.01/sf0.1 stay b = 0; sf1 selects b = 4;
+    // sf10 selects b = 11 (block ≈ 24 vectors).
     "knn_graph" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("label"), col("vec_id"),
+        val budget = 20000000L
+        val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
+          .head().getLong(0)
+        var b = 0
+        while (b < 16 && spent > (budget << b)) b += 1
+        val mask = (1L << b) - 1L
+        val sub = HashOps.hyperplaneSig(col("embedding"), 32)
+          .cast("long").bitwiseAND(lit(mask))
+        val a = e.select(col("label"), sub.as("subkey"), col("vec_id"),
           col("embedding").as("a_emb"))
-        val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("b_emb"))
+        val bb = e.select(col("label"), sub.as("subkey"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))
-        a.join(b, Seq("label"))
+        a.join(bb, Seq("label", "subkey"))
           .filter(col("vec_id") =!= col("neighbor_id"))
           .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
           .withColumn("rank", row_number().over(w))
@@ -163,11 +188,21 @@ object Knn {
             round(col("cosine"), 4).as("cosine"))
           .orderBy("vec_id", "rank")
       },
-      s"""WITH scored AS (
+      s"""WITH ${graft.dedup.Dedup.MurmurSql.embeddingSigsSql},
+          lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+          spent AS (SELECT coalesce(sum(n * (n - 1)), 0) AS v FROM lc),
+          bsel AS (SELECT coalesce(min(b), 16) AS b
+            FROM unnest(range(0, 17)) t(b)
+            WHERE (SELECT v FROM spent) <= 20000000 * (CAST(1 AS BIGINT) << b)),
+          sube AS (SELECT e.vec_id, e.label, e.embedding,
+              sg.sig & ((CAST(1 AS BIGINT) << (SELECT b FROM bsel)) - 1) AS subkey
+            FROM embeddings e JOIN sigs sg USING (vec_id)),
+          scored AS (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")} AS cos
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id <> b.vec_id),
+            FROM sube a JOIN sube b
+              ON a.label = b.label AND a.subkey = b.subkey
+                 AND a.vec_id <> b.vec_id),
           ranked AS (
             SELECT vec_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY vec_id
