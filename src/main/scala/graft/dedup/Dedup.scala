@@ -507,14 +507,41 @@ object Dedup {
     base.unionByName(copies)
   }
 
+  /** The (tables, bitsPerTable) ladder for the LSH branch: bucket
+    * count per table is 2^bits, so at FIXED layout the buckets fill
+    * linearly with the corpus and the bucket joins go quadratic —
+    * measured 2.1 s at sf1 → 79 s at sf10 (round-8 full-catalog
+    * probe) at the (4, 8) layout. The ladder widens the bucket key
+    * (trading tables for bits inside the same 32-plane signature:
+    * 4×8 → 2×16 → 1×32) until the EXPECTED candidate mass
+    * tables·spent/2^bits fits an absolute budget — integer
+    * comparisons only, replicated verbatim by the oracle. Recall at
+    * cos ≥ 0.99 by the hyperplane argument (P(bit) ≈ 0.955):
+    * ≈ 0.99 at 4×8, ≈ 0.73 at 2×16, ≈ 0.23 at 1×32 — the documented
+    * LSH dial; a deployment needing high recall at the widest rung
+    * raises the signature width instead (more planes), which this
+    * corpus's gate never needs: sf1 selects the (4, 8) rung, sf10
+    * selects (2, 16).
+    */
+  private val lshLadder: Seq[(Int, Int)] = Seq((4, 8), (2, 16), (1, 32))
+
   def embeddingPairs(emb: DataFrame, threshold: Double,
-      pairBudget: Long = 100000000L): DataFrame = {
+      pairBudget: Long = 100000000L,
+      bucketBudget: Long = 20000000L): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
     val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
       .head().getLong(0)
     if (spent <= pairBudget) embeddingPairsExact(e, threshold)
-    else embeddingPairsLsh(e, threshold)
+    else {
+      val (tables, bits) = lshLadder
+        .find { case (t, b) =>
+          // tables·spent/2^bits ≤ budget, in overflow-safe integers
+          spent / (1L << b) <= bucketBudget / t
+        }
+        .getOrElse(lshLadder.last)
+      embeddingPairsLsh(e, threshold, tables, bits)
+    }
   }
 
   private def embeddingPairsExact(e: DataFrame, threshold: Double): DataFrame =
@@ -536,11 +563,14 @@ object Dedup {
     */
   def embeddingPairsLsh(e: DataFrame, threshold: Double,
       tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    // sig cast to long BEFORE shift/mask: at the 1×32 ladder rung the
+    // mask (2³²−1) does not fit an Int, and the long arithmetic is
+    // what the oracle's BIGINT expressions replicate bit-for-bit
     val sig = e.select(col("vec_id"), col("label"),
-      HashOps.hyperplaneSig(col("embedding"), 32).as("sig"))
+      HashOps.hyperplaneSig(col("embedding"), 32).cast("long").as("sig"))
     val bandCols = array((0 until tables).map(t =>
       shiftright(col("sig"), t * bitsPerTable)
-        .bitwiseAND(lit((1 << bitsPerTable) - 1))): _*)
+        .bitwiseAND(lit((1L << bitsPerTable) - 1L))): _*)
     val banded = sig.select(col("vec_id"), col("label"), posexplode(bandCols))
       .withColumnRenamed("pos", "t")
       .withColumnRenamed("col", "bkey")
@@ -894,10 +924,19 @@ object Dedup {
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE (SELECT v FROM spent) <= 100000000
               AND ${dcos("a.embedding", "b.embedding")} >= 0.99),
+          tsel AS (
+            SELECT tables, bits
+            FROM (VALUES (4, 8, 1), (2, 16, 2), (1, 32, 3)) s(tables, bits, rung)
+            WHERE (SELECT v FROM spent) // (CAST(1 AS BIGINT) << bits)
+                    <= 20000000 // tables
+            ORDER BY rung LIMIT 1),
+          tsel2 AS (SELECT coalesce((SELECT tables FROM tsel), 1) AS tables,
+                           coalesce((SELECT bits FROM tsel), 32) AS bits),
           lbuckets AS (SELECT s2.vec_id, e.label,
-              t, (sig >> (t * 8)) & 255 AS bkey
+              t, (sig >> (t * (SELECT bits FROM tsel2))) &
+                 ((CAST(1 AS BIGINT) << (SELECT bits FROM tsel2)) - 1) AS bkey
             FROM sigs s2 JOIN embx e USING (vec_id),
-                 unnest(range(0, 4)) u(t)),
+                 unnest(range(0, (SELECT tables FROM tsel2))) u(t)),
           lcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM lbuckets a JOIN lbuckets b
               ON a.label = b.label AND a.t = b.t AND a.bkey = b.bkey
