@@ -44,6 +44,10 @@ object Bench {
         graft.ingest.SyntheticOrders.nested(s, d)),
       "wire_events_build" -> ((s, d) =>
         graft.ingest.SyntheticOrders.wire(s, d)),
+      "dlq_wire_build" -> ((s, d) => {
+        val dir = graft.ingest.SyntheticOrders.dlqWireDir(s, d)
+        s.read.parquet(dir).limit(1)
+      }),
       "shared_postings_build" -> ((s, d) =>
         graft.dedup.Dedup.sharedPostings(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),
@@ -264,9 +268,17 @@ object Bench {
     val sentinelFull = sentinels
       .map { case (i, s, c) => s"[$i,${fmt(s)},${fmt(c)}]" }
       .mkString("[", ",", "]")
+    // Pair-graph provenance tag (round-8 advice item): "<env>:<plan>"
+    // where env is the SPARK_GRAFT_PAIRS request (auto unless overridden)
+    // and plan is what sharedPairs actually built this JVM ("unbuilt" if
+    // no entry touched it). Artifacts produced on the ~0.87-recall LSH
+    // graph can never be mistaken for exact-graph numbers.
+    val pairsMode = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "auto") +
+      ":" + graft.dedup.Dedup.pairsPlanResolved
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"failures":${failed.size},""" +
+        s""""pairs_mode":"$pairsMode",""" +
         s""""sentinel":$sentinelSummary,""" +
         s""""queries":${jsonMap(results.filter(r => headline.contains(r._1)))},""" +
         s""""sf":"$sfDir"}"""
@@ -275,6 +287,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""failures":${failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")},""" +
+        s""""pairs_mode":"$pairsMode",""" +
         s""""sentinel":$sentinelSummary,"sentinel_times":$sentinelFull,""" +
         s""""queries":${jsonMap(results)},""" +
         s""""queries_cpu_sec":${jsonMap(cpuResults)},"sf":"$sfDir"}"""

@@ -143,34 +143,17 @@ object Clusters {
     // D14 — dedup clusters over the n-gram near-dup graph: every doc in
     // a duplicate cluster mapped to its representative (min doc_id).
     // Oracle: transitive closure via recursive CTE — an independent
-    // formulation of the same fixpoint.
+    // formulation of the same fixpoint, over the SHARED dispatched
+    // pair-graph fragment (Dedup.MurmurSql.pairGraphChainSql): the
+    // closure follows whichever pair plan — lossless index or
+    // budget-bounded LSH — the Σ df·(df−1) rule selects, exactly as
+    // the engine's sharedPairs does.
     "dedup_clusters" -> QueryDef(
       (s, d) =>
         sharedLabels(s, d)
           .orderBy("doc_id"),
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -202,28 +185,7 @@ object Clusters {
           .agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size"),
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -263,28 +225,7 @@ object Clusters {
           .orderBy("cluster_rep")
       },
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -325,28 +266,7 @@ object Clusters {
           .select(col("id").as("doc_id"),
             round(col("score"), 6).as("pagerank"))
           .orderBy("doc_id"),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs),
@@ -397,28 +317,7 @@ object Clusters {
           .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
           .orderBy("degree")
       },
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS id FROM pairs
            UNION ALL SELECT doc_b FROM pairs),
@@ -459,28 +358,7 @@ object Clusters {
               round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
               .as("clustering"))
       },
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """,
          tri AS (
            SELECT count(*) AS n_triangles
            FROM pairs e1
@@ -586,28 +464,7 @@ object Clusters {
           .orderBy("doc_id")
       },
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -633,29 +490,7 @@ object Clusters {
           .groupBy("band_low")
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("band_low"),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT round(common * 1.0 / (na + nb - common), 4) AS jaccard
-           FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """
          SELECT floor(jaccard * 20) / 20 AS band_low, count(*) AS n_pairs
          FROM pairs GROUP BY 1 ORDER BY band_low"""),
 
@@ -687,28 +522,7 @@ object Clusters {
           .orderBy("cluster_rep")
       },
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym AS MATERIALIZED (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs

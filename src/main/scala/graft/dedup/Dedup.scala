@@ -126,28 +126,79 @@ object Dedup {
     */
   private val pairsMemo = new graft.AssetMemo(8)
 
+  /** Absolute candidate budget for the shared pair graph: the exact
+    * inverted-index self-join emits exactly Σ df·(df−1) candidate rows
+    * over the non-hot df spectrum, so the dispatcher measures that sum
+    * and takes the lossless path only while it is affordable. 1e9 rows
+    * ≈ one minute of candidate hashing at the measured sf1 rate
+    * (2.5e8 → 16.2 s); every committed gate SF sits under it (sf0.01
+    * 2.8e4, sf0.1 2.5e6, sf1 2.5e8 — exact branch, proofs unchanged)
+    * and the dense sf10 decade (~2.5e10) sits far above it. The SAME
+    * literal appears in [[MurmurSql.pairGraphChainSql]] — the oracle
+    * replicates the dispatch rule, not just the branches.
+    */
+  private[graft] val pairsCandidateBudget: Long = 1000000000L
+
+  /** Resolved pair-graph plan of the LAST sharedPairs build in this
+    * JVM ("exact" | "lsh"; "unbuilt" before any build) — bench
+    * artifacts tag their JSON with it so approximate-mode numbers can
+    * never be mistaken for exact-mode ones (round-8 advice item).
+    */
+  @volatile private var lastPairsPlan: String = "unbuilt"
+  def pairsPlanResolved: String = lastPairsPlan
+
   def sharedPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrBuild(s, d) {
-      // Pair-graph source selection for the DENSE-decade regime
-      // (round-8 sf10 probe): the exact inverted-index graph emits
-      // Σ df·(df−1) candidate rows, which on this corpus's saturated
-      // vocabulary is infeasible by construction at sf10 (measured
-      // spectrum: ~1.9e10 DISTINCT qualifying pairs would have to be
-      // hash-aggregated — hundreds of GB of agg state, not merely
-      // slow). The bounded production path is the LSH pair graph the
-      // catalog already proves as dedup_minhash (D3): linear
-      // signatures + output-bounded band join, recall ≈ 0.87 at the
-      // J = 0.5 boundary and ≥ 0.999 at J ≥ 0.7 (its committed
-      // documented trade). Opt-in via SPARK_GRAFT_PAIRS=lsh so the
-      // correctness gate keeps the lossless graph at test SFs — the
-      // gate never sets it; scale benches and dense-corpus
-      // deployments do.
+      // Pair-graph plan selection for the DENSE-decade regime, now
+      // AUTO-DISPATCHED (round-9: the round-8 env knob was not a
+      // design — a 100× deployment that forgot it got the quadratic).
+      // The exact inverted-index graph emits Σ df·(df−1) candidate
+      // rows, which on a saturated vocabulary grows ~quadratically in
+      // corpus size (measured: 2.8e4 → 2.5e6 → 2.5e8 → ~2.5e10 for
+      // sf0.01 → sf10; 662 s and 46 GB of agg state at sf10). The
+      // dispatcher measures that sum — the EXACT candidate count, one
+      // single-row action over the memoized postings — against the
+      // absolute [[pairsCandidateBudget]] and takes the lossless index
+      // path only when affordable; above budget it switches to the
+      // bounded LSH pair graph the catalog already proves as
+      // dedup_minhash (D3): linear signatures + output-bounded band
+      // join, recall ≈ 0.87 at the J = 0.5 boundary and ≥ 0.999 at
+      // J ≥ 0.7, measured 97% pair recall at the sf10 decade. Every
+      // downstream closure-family oracle replicates BOTH branches and
+      // the selection scalar (guarded UNION on the same Σ df·(df−1),
+      // [[MurmurSql.pairGraphChainSql]]), so all 20 consumers stay
+      // hash-provable at every scale factor on whichever path the
+      // corpus selects. SPARK_GRAFT_PAIRS overrides for measurement
+      // runs ("exact" | "lsh"); unknown values FAIL rather than
+      // silently running some default plan.
+      val docs = Tables.documents(s, d)
+      val post = sharedPostings(s, d)
+      val mode = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "auto")
+      val useLsh = mode match {
+        case "exact" => false
+        case "lsh"   => true
+        case "auto" =>
+          val hot = hotShingles(docs, postingsSet = Some(post))
+          val spent = post.join(hot, Seq("s"), "left_anti")
+            .groupBy("s").agg(count(lit(1)).as("df"))
+            .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
+            .head().getLong(0)
+          spent > pairsCandidateBudget
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_PAIRS must be auto|exact|lsh, got '$other'")
+      }
+      lastPairsPlan = if (useLsh) "lsh" else "exact"
+      if (useLsh)
+        // loud by design: results built on this graph are ~0.87-recall
+        // approximate at the J=0.5 boundary, and a reader of any
+        // artifact produced in this mode must be able to tell
+        System.err.println(
+          s"[graft] sharedPairs($d): candidate budget exceeded or " +
+            s"mode=$mode — building the LSH (minhash) pair graph, " +
+            "not the exact inverted-index graph")
       val base =
-        if (sys.env.get("SPARK_GRAFT_PAIRS").contains("lsh"))
-          minhashPairs(Tables.documents(s, d), 0.5)
-        else
-          ngramJaccardPairs(Tables.documents(s, d), 0.5,
-            postingsSet = Some(sharedPostings(s, d)))
+        if (useLsh) minhashPairs(docs, 0.5)
+        else ngramJaccardPairs(docs, 0.5, postingsSet = Some(post))
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -216,7 +267,7 @@ object Dedup {
       .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)).as("v"))
       .head().getLong(0)
     if (spent <= candidateBudget) containmentPairsExact(ex, threshold)
-    else containmentPairsLsh(docs, threshold)
+    else containmentPairsLsh(docs, threshold, filteredPostings = Some(ex))
   }
 
   /** The lossless inverted-index containment path (sub-budget corpora:
@@ -291,8 +342,24 @@ object Dedup {
 
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
-      bandCap: Long = 256L): DataFrame = {
+      bandCap: Long = 256L,
+      filteredPostings: Option[DataFrame] = None): DataFrame = {
     val rows = numHashes / bands
+    // Verification reads HOT-FILTERED shingle sets so both branches
+    // agree on what "common" counts (round-8 advice item): the exact
+    // branch counts common over hot-filtered postings, so verifying
+    // candidates with the FULL arrays here would shift containment
+    // values — and the qualifying pair set — discontinuously when the
+    // budget flips the branch. `n` stays the PRE-cap count (the shared
+    // denominator contract). One doc_id-keyed re-collect of the
+    // filtered postings — linear, and the postings are memoized.
+    val exf = filteredPostings.getOrElse {
+      val exAll = postings(docs)
+      exAll.join(hotShingles(docs, postingsSet = Some(exAll)),
+        Seq("s"), "left_anti")
+    }
+    val shf = exf.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("shf"), first(col("n")).as("n"))
     // empty shingle sets (<3 tokens) minhash to the all-MaxValue
     // sentinel and would collide in every band (see bandProfile)
     val sh = withShingles(docs).filter(size(col("shingles")) > 0)
@@ -303,9 +370,11 @@ object Dedup {
     // sf1 before the wrap, 0 expected after
     val sig = sh.select(col("doc_id"),
       HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
+    // raw-slice band key, same reasoning as minhashPairs: the oracle's
+    // bands2 caps buckets on slice equality, so the engine must too
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+        b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     // same absolute band-bucket cap as minhashPairs (see its scaladoc):
@@ -319,11 +388,12 @@ object Dedup {
     val dir = cand.select(col("x").as("doc_a"), col("y").as("doc_b"))
       .union(cand.select(col("y").as("doc_a"), col("x").as("doc_b")))
     dir
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(shf.select(col("doc_id").as("doc_a"), col("shf").as("sh_a"),
+        col("n").as("na")), "doc_a")
+      .join(shf.select(col("doc_id").as("doc_b"), col("shf").as("sh_b"),
+        col("n").as("nb")), "doc_b")
+      .filter(col("nb") >= col("na") * lit(threshold))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("na", size(col("sh_a")))
-      .filter(size(col("sh_b")) >= col("na") * lit(threshold))
       .withColumn("containment", col("common") * lit(1.0) / col("na"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
@@ -373,9 +443,16 @@ object Dedup {
     val rows = numHashes / bands
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     val sig = sh.withColumn("sig", HashOps.minhash(col("shingles"), numHashes))
+    // band key = the RAW signature slice (array equality), not a 32-bit
+    // hash of it: the oracle caps and joins buckets on slice equality,
+    // and a hash collision merging two distinct buckets could push the
+    // merged bucket over bandCap so the engine drops candidates the
+    // oracle keeps (~30 expected colliding key pairs per band at sf10's
+    // ~500k keys) — a probabilistic mismatch the raw key removes for
+    // the price of shuffling 4 longs instead of 1 int per band row
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))))))
+        b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     // ABSOLUTE band-bucket cap (round-8 sf10 finding): on a
@@ -765,6 +842,93 @@ object Dedup {
           SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
           WHERE j >= 0.5 ORDER BY doc_a, doc_b"""
 
+    /** THE shared near-dup pair-graph oracle fragment: a WITH-chain
+      * (no `WITH` keyword) ending in CTE `pairs(doc_a, doc_b, jaccard)`
+      * that replicates [[Dedup.sharedPairs]]' auto-dispatch EXACTLY —
+      * the selection scalar Σ df·(df−1) over the non-hot df spectrum
+      * (`pspent`, the same single number the engine probes), the
+      * lossless inverted-index branch guarded `WHERE pspent ≤ budget`,
+      * and the murmur3-exact 128-perm / 32-band / cap-256 minhash
+      * branch (the dedup_minhash replica) guarded `WHERE pspent >
+      * budget`. The budget literal mirrors
+      * [[Dedup.pairsCandidateBudget]]. All 16 downstream
+      * closure-family oracles (Clusters/Curate) splice this fragment
+      * instead of inlining their own exact-only chain, so the entries
+      * stay hash-provable at every scale factor on whichever plan the
+      * corpus selects — the guarded-UNION pattern containment_pairs
+      * proved at round 8, promoted to the shared asset.
+      *
+      * Cost discipline: the LSH branch's guard sits at the SOURCE of
+      * its murmur chain (`plsrc`), not at the end — under budget the
+      * 128-hash signature chain runs over an EMPTY relation, so the
+      * ~16 oracles that embed this fragment pay only the (cheap)
+      * df-spectrum scalar at the gate SFs where the exact branch is
+      * selected. CTE names are p-prefixed to never collide with the
+      * splicing statements' own CTEs.
+      */
+    val pairGraphChainSql: String =
+      s"""ptoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents),
+          psh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, len(t) - 1)]) AS shingles
+            FROM ptoks WHERE len(t) >= 3),
+          pex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                  FROM psh),
+          pdfs AS MATERIALIZED (SELECT s, count(*) AS df FROM pex GROUP BY s),
+          phot AS MATERIALIZED (SELECT s FROM pdfs WHERE df > greatest(1000,
+            CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
+          pexf AS MATERIALIZED (
+            SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)),
+          pspent AS MATERIALIZED (
+            SELECT coalesce(sum(df * (df - 1)), 0) AS v FROM pdfs
+            WHERE s NOT IN (SELECT s FROM phot)),
+          pecand AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                   any_value(a.n) AS na, any_value(b.n) AS nb
+            FROM pexf a JOIN pexf b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE (SELECT v FROM pspent) <= 1000000000
+            GROUP BY 1, 2),
+          pepairs AS (
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 / (na + nb - common), 4) AS jaccard
+            FROM pecand WHERE common * 1.0 / (na + nb - common) >= 0.5),
+          plsrc AS (SELECT doc_id, shingles FROM psh
+                    WHERE (SELECT v FROM pspent) > 1000000000),
+          plex AS (SELECT doc_id, unnest(shingles) AS tok FROM plsrc),
+          ${tokPrepP("lp", "plex", "")},
+          ${fmixStagesP("lp", "")},
+          pluls AS (SELECT doc_id, list([ua, ub | 1]) AS ul FROM lphh
+                    GROUP BY doc_id),
+          plsig AS (SELECT doc_id,
+            list_transform(range(0, 128), i ->
+              list_min(list_transform(ul, p -> p[1] + i*p[2]))) AS s
+            FROM pluls),
+          plbands AS (SELECT doc_id, bnd, s[4*bnd+1:4*bnd+4] AS bkey
+            FROM plsig, unnest(range(0, 32)) AS u(bnd)),
+          plbcap AS (SELECT bnd, bkey FROM plbands
+                     GROUP BY bnd, bkey HAVING count(*) <= 256),
+          plbk AS (SELECT b.doc_id, b.bnd, b.bkey
+                   FROM plbands b JOIN plbcap USING (bnd, bkey)),
+          plcand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM plbk a JOIN plbk b
+              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          plver AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                     AS j
+            FROM plcand
+            JOIN psh sa ON sa.doc_id = doc_a
+            JOIN psh sb ON sb.doc_id = doc_b),
+          plpairs AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM plver
+                      WHERE j >= 0.5),
+          pairs AS MATERIALIZED (
+            SELECT * FROM pepairs UNION ALL SELECT * FROM plpairs)"""
+
     /** minhash_band_profile oracle: per-band bucket-size statistics
       * over the same murmur3-exact banded signatures.
       */
@@ -828,12 +992,14 @@ object Dedup {
             WHERE (SELECT v FROM cspent) > 20000000),
           ldir AS (SELECT x AS doc_a, y AS doc_b FROM lcand
                    UNION ALL SELECT y AS doc_a, x AS doc_b FROM lcand),
+          cshf AS (SELECT doc_id, list(s) AS shf, any_value(n) AS n
+                   FROM cexf GROUP BY doc_id),
           lver AS (SELECT doc_a, doc_b,
-              len(list_intersect(sa.shingles, sb.shingles)) AS common,
-              len(sa.shingles) AS na, len(sb.shingles) AS nb
+              len(list_intersect(fa.shf, fb.shf)) AS common,
+              fa.n AS na, fb.n AS nb
             FROM ldir
-            JOIN sh sa ON sa.doc_id = doc_a
-            JOIN sh sb ON sb.doc_id = doc_b),
+            JOIN cshf fa ON fa.doc_id = doc_a
+            JOIN cshf fb ON fb.doc_id = doc_b),
           lpairs AS (SELECT doc_a, doc_b,
               round(common * 1.0 / na, 4) AS containment
             FROM lver WHERE nb >= na * 0.8 AND common * 1.0 / na >= 0.8)
@@ -1074,35 +1240,18 @@ object Dedup {
          SELECT n_copies, count(*) AS n_hashes
          FROM c GROUP BY n_copies ORDER BY n_copies"""),
 
-    // D2 — blocked exact n-gram Jaccard (threshold 0.5), read from the
-    // shared materialized pair graph (first consumer pays the build).
+    // D2 — blocked n-gram Jaccard (threshold 0.5), read from the shared
+    // materialized pair graph (first consumer pays the build). The
+    // oracle IS the canonical dispatched statement: both plan-selected
+    // branches plus the Σ df·(df−1) selection rule, via the shared
+    // fragment every closure-family oracle splices.
     "dedup_ngram" -> QueryDef(
       (s, d) =>
         sharedPairs(s, d)
           .orderBy("doc_a", "doc_b"),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-                round(common * 1.0 / (na + nb - common), 4) AS jaccard
-         FROM pairs WHERE common * 1.0 / (na + nb - common) >= 0.5
-         ORDER BY doc_a, doc_b"""),
+      s"""WITH ${MurmurSql.pairGraphChainSql}
+          SELECT doc_a, doc_b, jaccard FROM pairs
+          ORDER BY doc_a, doc_b"""),
 
     // D70 — directed shingle-containment pairs at 0.8 (see
     // containmentPairs): the asymmetric complement of dedup_ngram's

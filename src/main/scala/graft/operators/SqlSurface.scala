@@ -21,9 +21,14 @@ object SqlSurface {
     // Σ_{i≠j} cos(v_i,v_j) = ‖Σ v̂‖² − n for unit vectors v̂, so ONE
     // linear scan (per-label 64-dim vector sum) replaces the join. For
     // cross-engine determinism the unit vectors are quantized to ×10⁷
-    // integers first (the qmean4/D87 scaled-integer discipline): all
-    // sums are then exact integers, the only float folds are the fixed
-    // dim-order ‖S‖² and the final division, identical on both engines.
+    // integers first (the qmean4/D87 scaled-integer discipline): ‖S‖²
+    // and the numerator ssq−tt are then EXACT integers end to end
+    // (decimal(38,0)/HUGEINT — sd² exceeds 2⁶³ at the decade), and the
+    // 4 dp finish is qmean4's half-away-from-zero in exact integer
+    // arithmetic — sign(num)·((2|num|·10⁴+den) div (2·den)) — so no
+    // engine-native round() ever sees a .00005 boundary (round-8
+    // advice item: the previous double round() was the one remaining
+    // divergence class here).
     // Semantics shift vs the pairwise version is the 1e-7 quantization
     // — far under the 4 dp output rounding. Overflow bound: per-row
     // t ≈ 1e14, so a label block stays < 2^63 up to ~9e4 B rows.
@@ -59,19 +64,28 @@ object SqlSurface {
                SELECT label,
                       aggregate(
                         transform(array_sort(collect_list(struct(pos, sd))),
-                                  z -> CAST(z.sd AS DOUBLE)),
-                        CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) AS ssq
+                                  z -> CAST(z.sd AS DECIMAL(19,0))),
+                        CAST(0 AS DECIMAL(38,0)),
+                        (a, x) -> a + CAST(x * x AS DECIMAL(38,0))) AS ssq
                FROM ds GROUP BY label),
              tc AS (
                SELECT label, sum(t) AS tt, count(*) AS n
-               FROM rt GROUP BY label)
-             SELECT ag.label,
-                    round((ag.ssq - CAST(tc.tt AS DOUBLE))
-                          / CAST(tc.n * (tc.n - 1) AS DOUBLE)
-                          / 100000000000000.0, 4) + 0 AS mean_cosine,
-                    tc.n * (tc.n - 1) DIV 2 AS n_pairs
-             FROM ag JOIN tc USING (label)
-             WHERE tc.n >= 2
+               FROM rt GROUP BY label),
+             fin AS (
+               SELECT ag.label, tc.n,
+                      ag.ssq - CAST(tc.tt AS DECIMAL(38,0)) AS num,
+                      CAST(tc.n AS DECIMAL(38,0)) * (tc.n - 1)
+                        * 100000000000000 AS den
+               FROM ag JOIN tc USING (label)
+               WHERE tc.n >= 2)
+             SELECT label,
+                    CASE WHEN num = 0 THEN 0.0
+                         ELSE (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                              * CAST((2 * abs(num) * 10000 + den)
+                                     DIV (2 * den) AS DOUBLE)
+                              / 10000.0 END + 0 AS mean_cosine,
+                    n * (n - 1) DIV 2 AS n_pairs
+             FROM fin
              ORDER BY label""")
       },
       s"""WITH nv AS (SELECT label, embedding,
@@ -90,19 +104,25 @@ object SqlSurface {
           ds AS (SELECT label, u.i AS pos, CAST(sum(qv[u.i]) AS BIGINT) AS sd
             FROM rt, unnest(range(1, 65)) u(i) GROUP BY label, u.i),
           ag AS (SELECT label,
-              list_sum(list_transform(list(CAST(sd AS DOUBLE) ORDER BY pos),
-                x -> x * x)) AS ssq
+              list_sum(list_transform(list(sd ORDER BY pos),
+                x -> CAST(x AS HUGEINT) * x)) AS ssq
             FROM ds GROUP BY label),
           tc AS (SELECT label, CAST(sum(t) AS BIGINT) AS tt, count(*) AS n
-            FROM rt GROUP BY label)
-          SELECT ag.label,
-                 round((ag.ssq - CAST(tc.tt AS DOUBLE))
-                       / CAST(tc.n * (tc.n - 1) AS DOUBLE)
-                       / 100000000000000.0, 4) + 0 AS mean_cosine,
-                 tc.n * (tc.n - 1) // 2 AS n_pairs
-          FROM ag JOIN tc USING (label)
-          WHERE tc.n >= 2
-          ORDER BY ag.label"""),
+            FROM rt GROUP BY label),
+          fin AS (SELECT ag.label, tc.n,
+              ag.ssq - CAST(tc.tt AS HUGEINT) AS num,
+              CAST(tc.n AS HUGEINT) * (tc.n - 1) * 100000000000000 AS den
+            FROM ag JOIN tc USING (label)
+            WHERE tc.n >= 2)
+          SELECT label,
+                 CASE WHEN num = 0 THEN 0.0
+                      ELSE (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                           * CAST((2 * abs(num) * 10000 + den)
+                                  // (2 * den) AS DOUBLE)
+                           / 10000.0 END + 0 AS mean_cosine,
+                 n * (n - 1) // 2 AS n_pairs
+          FROM fin
+          ORDER BY label"""),
 
     // SQL shingling + minhash through registered functions —
     // oracle-checked: the DuckDB side recomputes the murmur3-exact

@@ -79,6 +79,45 @@ object Knn {
   private def queriesOf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
 
+  /** D54 core — the budget-dispatched k-NN graph (see the knn_graph
+    * entry scaladoc). Factored out so the decade recall probe
+    * (graft.RecallProbe) can (a) restrict the QUERY side to a sampled
+    * vec_id predicate — the b-bit sub-blocking and the window are
+    * per-query-local, so a filtered a-side computes exactly the full
+    * graph's rows for those queries at a fraction of the cost — and
+    * (b) force b = 0, which IS the exact unsubdivided label-block
+    * semantics, giving the ground-truth twin for recall@k.
+    */
+  def graphTopK(e: DataFrame, k: Int, budget: Long = 20000000L,
+      queryFilter: Option[org.apache.spark.sql.Column] = None,
+      forceB: Option[Int] = None): DataFrame = {
+    val b = forceB.getOrElse {
+      val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
+        .head().getLong(0)
+      var bb = 0
+      while (bb < 16 && spent > (budget << bb)) bb += 1
+      bb
+    }
+    val mask = (1L << b) - 1L
+    val sub = HashOps.hyperplaneSig(col("embedding"), 32)
+      .cast("long").bitwiseAND(lit(mask))
+    val aAll = e.select(col("label"), sub.as("subkey"), col("vec_id"),
+      col("embedding").as("a_emb"))
+    val a = queryFilter.map(aAll.filter).getOrElse(aAll)
+    val bb = e.select(col("label"), sub.as("subkey"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(bb, Seq("label", "subkey"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // D6 — exact brute-force top-3 for 10 fixed query vectors.
@@ -162,32 +201,9 @@ object Knn {
     // At the gate: sf0.01/sf0.1 stay b = 0; sf1 selects b = 4;
     // sf10 selects b = 11 (block ≈ 24 vectors).
     "knn_graph" -> QueryDef(
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val budget = 20000000L
-        val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
-          .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
-          .head().getLong(0)
-        var b = 0
-        while (b < 16 && spent > (budget << b)) b += 1
-        val mask = (1L << b) - 1L
-        val sub = HashOps.hyperplaneSig(col("embedding"), 32)
-          .cast("long").bitwiseAND(lit(mask))
-        val a = e.select(col("label"), sub.as("subkey"), col("vec_id"),
-          col("embedding").as("a_emb"))
-        val bb = e.select(col("label"), sub.as("subkey"),
-          col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))
-        a.join(bb, Seq("label", "subkey"))
-          .filter(col("vec_id") =!= col("neighbor_id"))
-          .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("vec_id"), col("rank"), col("neighbor_id"),
-            round(col("cosine"), 4).as("cosine"))
-          .orderBy("vec_id", "rank")
-      },
+      (s, d) =>
+        graphTopK(Tables.embeddings(s, d), 3)
+          .orderBy("vec_id", "rank"),
       s"""WITH ${graft.dedup.Dedup.MurmurSql.embeddingSigsSql},
           lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
           spent AS (SELECT coalesce(sum(n * (n - 1)), 0) AS v FROM lc),

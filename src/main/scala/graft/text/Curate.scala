@@ -137,25 +137,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -193,28 +175,7 @@ object Curate {
           .orderBy("source")
       },
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -253,30 +214,7 @@ object Curate {
     "dup_source_matrix" -> QueryDef(
       (s, d) => sourceMatrix(Tables.documents(s, d),
         Dedup.sharedPairs(s, d)),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b,
-                  round(common * 1.0 / (na + nb - common), 4) AS jaccard
-           FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """
          SELECT least(da.source, db.source) AS source_a,
                 greatest(da.source, db.source) AS source_b,
                 count(*) AS n_pairs,
@@ -301,30 +239,7 @@ object Curate {
     "dup_lang_matrix" -> QueryDef(
       (s, d) => pairMatrix(Tables.documents(s, d),
         Dedup.sharedPairs(s, d), "lang"),
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b,
-                  round(common * 1.0 / (na + nb - common), 4) AS jaccard
-           FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5)
+      """WITH """ + Dedup.MurmurSql.pairGraphChainSql + """
          SELECT least(da.lang, db.lang) AS lang_a,
                 greatest(da.lang, db.lang) AS lang_b,
                 count(*) AS n_pairs,
@@ -362,28 +277,7 @@ object Curate {
           .orderBy("source")
       },
       """WITH RECURSIVE
-         toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -437,25 +331,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
@@ -525,25 +401,7 @@ object Curate {
                         + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
                         4) AS quality
            FROM toks),
-         sh AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct([array_to_string(t[i:i+2], ' ')
-                                 for i in range(1, len(t) - 1)]) AS shingles
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-         hot AS (
-           SELECT s FROM ex GROUP BY s
-           HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
-         exf AS MATERIALIZED (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         cand AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS MATERIALIZED (
-           SELECT doc_a, doc_b FROM cand
-           WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs
