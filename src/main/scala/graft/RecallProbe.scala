@@ -53,8 +53,11 @@ object RecallProbe {
     if (which == "all" || which == "knn") {
       val e = Tables.embeddings(spark, sfDir)
       val qf = pmod(col("vec_id"), lit(97L)) === 0L
+      // optional third arg: force the approx side's sub-block bit count
+      // (the recall-vs-cost dial; omitted = the dispatcher's own b)
+      val forcedB = if (args.length > 2) Some(args(2).toInt) else None
       val approx = graft.similarity.Knn
-        .graphTopK(e, 3, queryFilter = Some(qf))
+        .graphTopK(e, 3, queryFilter = Some(qf), forceB = forcedB)
         .select("vec_id", "neighbor_id")
         .persist()
       val exact = graft.similarity.Knn

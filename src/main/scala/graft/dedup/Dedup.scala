@@ -178,9 +178,15 @@ object Dedup {
         case "exact" => false
         case "lsh"   => true
         case "auto" =>
-          val hot = hotShingles(docs, postingsSet = Some(post))
-          val spent = post.join(hot, Seq("s"), "left_anti")
-            .groupBy("s").agg(count(lit(1)).as("df"))
+          // one df-agg pass: non-hot ≡ df ≤ cap, so the spent scalar
+          // needs no hot-set anti-join (the first probe formulation
+          // cost a measured ~88 s of the 277 s sf10 build — two extra
+          // aggregates + an anti-join over the postings for a number
+          // one filtered aggregate produces)
+          val cap = math.max(1000L,
+            (docs.select(count(lit(1))).head().getLong(0) * 0.001).toLong)
+          val spent = post.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap)
             .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
             .head().getLong(0)
           spent > pairsCandidateBudget
@@ -188,7 +194,7 @@ object Dedup {
           s"SPARK_GRAFT_PAIRS must be auto|exact|lsh, got '$other'")
       }
       lastPairsPlan = if (useLsh) "lsh" else "exact"
-      if (useLsh)
+      if (useLsh) {
         // loud by design: results built on this graph are ~0.87-recall
         // approximate at the J=0.5 boundary, and a reader of any
         // artifact produced in this mode must be able to tell
@@ -196,10 +202,27 @@ object Dedup {
           s"[graft] sharedPairs($d): candidate budget exceeded or " +
             s"mode=$mode — building the LSH (minhash) pair graph, " +
             "not the exact inverted-index graph")
-      val base =
-        if (useLsh) minhashPairs(docs, 0.5)
-        else ngramJaccardPairs(docs, 0.5, postingsSet = Some(post))
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // share dedup_minhash's memoized frame — above budget the two
+        // are the SAME computation, and a full-catalog run would
+        // otherwise pay the band join + verify twice
+        sharedMinhashPairs(s, d)
+      } else
+        ngramJaccardPairs(docs, 0.5, postingsSet = Some(post))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The 128-perm/32-band minhash pair graph at J ≥ 0.5 as its own
+    * memoized corpus asset: the dedup_minhash catalog entry always
+    * reads it, and [[sharedPairs]] reads it too when the candidate
+    * budget dispatches to the LSH plan — one band join + verify per
+    * corpus snapshot either way.
+    */
+  private val minhashMemo = new graft.AssetMemo(8)
+
+  def sharedMinhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashMemo.getOrBuild(s, d) {
+      minhashPairs(Tables.documents(s, d), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The corpus POSTINGS as a shared materialized asset, one level
@@ -315,7 +338,7 @@ object Dedup {
     * exact path remains lossless and is always taken when affordable.
     */
   /** Shared candidate expansion for the banded LSH joins: ONE shuffle
-    * of the (doc_id, band, band_key) table, each bucket materialized as
+    * of the (doc_id, band, k1, k2) table, each bucket materialized as
     * a sorted id list, buckets above `bandCap` dropped (the absolute
     * cap — scaladoc at minhashPairs), then the i<j pairs emitted per
     * bucket by a bounded higher-order expansion. This replaces the
@@ -330,7 +353,7 @@ object Dedup {
     * not just the candidate count.
     */
   private def bandedCappedPairs(banded: DataFrame, bandCap: Long): DataFrame =
-    banded.groupBy("band", "band_key")
+    banded.groupBy("band", "k1", "k2")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= lit(bandCap))
       .select(explode(flatten(transform(col("ids"),
@@ -339,6 +362,27 @@ object Dedup {
           b => struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+
+  /** Packs two signature values into ONE signed-64 band-key column via
+    * `(a mod 2³² − 2³¹)·2³² + (b mod 2³²)` — an exact bijection of the
+    * low-32 parts onto the signed-long range, every intermediate
+    * provably inside [−2⁶³, 2⁶³) (ANSI-safe; same bound argument holds
+    * for DuckDB's checked BIGINT ops, where the oracle computes the
+    * IDENTICAL expression). Why not group on the raw slice array: the
+    * round-9 first cut did, and array keys pushed the aggregation and
+    * exchange off the primitive-key fast path — measured +1 185 CPU-s
+    * (1.8×) on the sf10 pair build. Why not Spark's `hash(slice)`: an
+    * engine-private hash the oracle cannot replicate, whose collisions
+    * therefore DIVERGE the two sides' cap decisions (the round-8
+    * advice item). Here a (vanishingly rare) low-32 collision merges
+    * the same two buckets on BOTH engines — consistent by
+    * construction. Plain 128-perm minhash values are < 2³⁹, so the
+    * mod discards only the top 7 bits; the wrap32 variant's values
+    * are already < 2³², making the packing lossless there.
+    */
+  private def packedKey(a: Column, b: Column): Column =
+    (pmod(a, lit(4294967296L)) - lit(2147483648L)) * lit(4294967296L) +
+      pmod(b, lit(4294967296L))
 
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
@@ -370,13 +414,16 @@ object Dedup {
     // sf1 before the wrap, 0 expected after
     val sig = sh.select(col("doc_id"),
       HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
-    // raw-slice band key, same reasoning as minhashPairs: the oracle's
-    // bands2 caps buckets on slice equality, so the engine must too
+    // packed band key, same reasoning as minhashPairs (see packedKey);
+    // the 2-row bands pack LOSSLESSLY into k1 (wrap32 values < 2³²),
+    // k2 pinned to 0
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        packedKey(element_at(col("sig"), b * lit(rows) + 1),
+          element_at(col("sig"), b * lit(rows) + 2)))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+      .select(col("doc_id"), col("band"), col("col").as("k1"),
+        lit(0L).as("k2"))
     // same absolute band-bucket cap as minhashPairs (see its scaladoc):
     // the 2-row bands here collide even more readily on a small shingle
     // universe (measured 19.1M candidates at sf10, max bucket 456);
@@ -443,18 +490,22 @@ object Dedup {
     val rows = numHashes / bands
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
     val sig = sh.withColumn("sig", HashOps.minhash(col("shingles"), numHashes))
-    // band key = the RAW signature slice (array equality), not a 32-bit
-    // hash of it: the oracle caps and joins buckets on slice equality,
-    // and a hash collision merging two distinct buckets could push the
-    // merged bucket over bandCap so the engine drops candidates the
-    // oracle keeps (~30 expected colliding key pairs per band at sf10's
-    // ~500k keys) — a probabilistic mismatch the raw key removes for
-    // the price of shuffling 4 longs instead of 1 int per band row
+    // band key = the two PACKED low-32 pair columns (see packedKey),
+    // not Spark's hash(slice): the oracle computes the identical
+    // integer expression, so a key collision merges the same buckets
+    // on both engines and the bandCap decision can never diverge
+    // (round-8 advice item) — while the keys stay primitive longs on
+    // the aggregation fast path
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col("sig"), b * lit(rows) + 1, lit(rows)))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(
+          packedKey(element_at(col("sig"), b * lit(rows) + 1),
+            element_at(col("sig"), b * lit(rows) + 2)).as("k1"),
+          packedKey(element_at(col("sig"), b * lit(rows) + 3),
+            element_at(col("sig"), b * lit(rows) + 4)).as("k2")))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+      .select(col("doc_id"), col("band"),
+        col("col.k1").as("k1"), col("col.k2").as("k2"))
     // ABSOLUTE band-bucket cap (round-8 sf10 finding): on a
     // small-universe corpus the globally-minimal-hash shingles appear
     // in a large fraction of docs, so band buckets fill with UNRELATED
@@ -824,13 +875,20 @@ object Dedup {
 
     val minhashPairsSql: String =
       s"""$minhashSigBandsSql,
-          bcap AS (SELECT bnd, bkey FROM bands
-                   GROUP BY bnd, bkey HAVING count(*) <= 256),
-          bandsk AS (SELECT b.doc_id, b.bnd, b.bkey
-                     FROM bands b JOIN bcap USING (bnd, bkey)),
+          bpk AS (SELECT doc_id, bnd,
+              (bkey[1] % 4294967296 - 2147483648) * 4294967296
+                + bkey[2] % 4294967296 AS k1,
+              (bkey[3] % 4294967296 - 2147483648) * 4294967296
+                + bkey[4] % 4294967296 AS k2
+            FROM bands),
+          bcap AS (SELECT bnd, k1, k2 FROM bpk
+                   GROUP BY bnd, k1, k2 HAVING count(*) <= 256),
+          bandsk AS (SELECT b.doc_id, b.bnd, b.k1, b.k2
+                     FROM bpk b JOIN bcap USING (bnd, k1, k2)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bandsk a JOIN bandsk b
-              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.k2 = b.k2
+                 AND a.doc_id < b.doc_id),
           verified AS (
             SELECT doc_a, doc_b,
                    len(list_intersect(sa.shingles, sb.shingles)) * 1.0
@@ -906,16 +964,21 @@ object Dedup {
             list_transform(range(0, 128), i ->
               list_min(list_transform(ul, p -> p[1] + i*p[2]))) AS s
             FROM pluls),
-          plbands AS (SELECT doc_id, bnd, s[4*bnd+1:4*bnd+4] AS bkey
+          plbands AS (SELECT doc_id, bnd,
+              (s[4*bnd+1] % 4294967296 - 2147483648) * 4294967296
+                + s[4*bnd+2] % 4294967296 AS k1,
+              (s[4*bnd+3] % 4294967296 - 2147483648) * 4294967296
+                + s[4*bnd+4] % 4294967296 AS k2
             FROM plsig, unnest(range(0, 32)) AS u(bnd)),
-          plbcap AS (SELECT bnd, bkey FROM plbands
-                     GROUP BY bnd, bkey HAVING count(*) <= 256),
-          plbk AS (SELECT b.doc_id, b.bnd, b.bkey
-                   FROM plbands b JOIN plbcap USING (bnd, bkey)),
+          plbcap AS (SELECT bnd, k1, k2 FROM plbands
+                     GROUP BY bnd, k1, k2 HAVING count(*) <= 256),
+          plbk AS (SELECT b.doc_id, b.bnd, b.k1, b.k2
+                   FROM plbands b JOIN plbcap USING (bnd, k1, k2)),
           plcand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM plbk a JOIN plbk b
-              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+              ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.k2 = b.k2
+                 AND a.doc_id < b.doc_id),
           plver AS (
             SELECT doc_a, doc_b,
                    len(list_intersect(sa.shingles, sb.shingles)) * 1.0
@@ -980,15 +1043,17 @@ object Dedup {
               list_min(list_transform(ul, p -> (p[1] + i*p[2]) % 4294967296)))
               AS s
             FROM uls),
-          bands2 AS (SELECT doc_id, bnd, s[2*bnd+1:2*bnd+2] AS bkey
+          bands2 AS (SELECT doc_id, bnd,
+              (s[2*bnd+1] % 4294967296 - 2147483648) * 4294967296
+                + s[2*bnd+2] % 4294967296 AS k1
             FROM sigw, unnest(range(0, 64)) AS u(bnd)),
-          bcap2 AS (SELECT bnd, bkey FROM bands2
-                    GROUP BY bnd, bkey HAVING count(*) <= 256),
-          bands2k AS (SELECT b.doc_id, b.bnd, b.bkey
-                      FROM bands2 b JOIN bcap2 USING (bnd, bkey)),
+          bcap2 AS (SELECT bnd, k1 FROM bands2
+                    GROUP BY bnd, k1 HAVING count(*) <= 256),
+          bands2k AS (SELECT b.doc_id, b.bnd, b.k1
+                      FROM bands2 b JOIN bcap2 USING (bnd, k1)),
           lcand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
             FROM bands2k a JOIN bands2k b
-              ON a.bnd = b.bnd AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.doc_id < b.doc_id
             WHERE (SELECT v FROM cspent) > 20000000),
           ldir AS (SELECT x AS doc_a, y AS doc_b FROM lcand
                    UNION ALL SELECT y AS doc_a, x AS doc_b FROM lcand),
@@ -1346,7 +1411,7 @@ object Dedup {
     // verify (MurmurSql.minhashPairsSql); spec additionally checks
     // recall vs dedup_ngram.
     "dedup_minhash" -> QueryDef(
-      (s, d) => minhashPairs(Tables.documents(s, d), 0.5)
+      (s, d) => sharedMinhashPairs(s, d)
         .orderBy("doc_a", "doc_b"),
       MurmurSql.minhashPairsSql),
 
@@ -1406,7 +1471,7 @@ object Dedup {
     Map("lsh_recall" -> QueryDef(
       (s, d) => {
         val exact = sharedPairs(s, d).select("doc_a", "doc_b")
-        val lsh = minhashPairs(Tables.documents(s, d), 0.5)
+        val lsh = sharedMinhashPairs(s, d)
           .select(col("doc_a").as("l_a"), col("doc_b").as("l_b"))
         exact
           .join(lsh, col("doc_a") === col("l_a") &&
