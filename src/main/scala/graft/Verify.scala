@@ -13,7 +13,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // decade-run discipline (BENCH.md round 9): the small-SF default
+      // (= cpus) GC-thrashes the sf10 LSH candidate distinct; dumps at
+      // sf10 set SPARK_GRAFT_SHUFFLE=64 like the benches do
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
