@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *  - emb: pair recall of the dedup_embedding hyperplane-LSH ladder
   *    rung the sf10 corpus selects — (2 tables × 16 bits) — against
   *    the exact label-blocked pairs at cos ≥ 0.99, on the seeded
-  *    corpus sub-sampled to vec_id % 20 = 0. The sample preserves
-  *    every planted true pair (copies sit at vec_id + 1e8 and
-  *    1e8 % 20 = 0, so both endpoints survive together) and candidate
+  *    corpus sub-sampled on the ORIGINAL id % 20 (copies live at
+  *    −(id+1), mapped back before sampling, so both endpoints of a
+  *    planted pair survive together) and candidate
   *    membership is a pure pairwise function of the two signatures
   *    (the rung has no bucket cap), so the sampled recall is the
   *    population recall estimator with ~n/140 true-pair support.
@@ -75,9 +75,13 @@ object RecallProbe {
     }
 
     if (which == "all" || which == "emb") {
+      // sample on the ORIGINAL id (copies live at −(id+1)) so a planted
+      // pair always keeps or loses both endpoints together
+      val origId = when(col("vec_id") < 0, -col("vec_id") - 1)
+        .otherwise(col("vec_id"))
       val seeded = graft.dedup.Dedup
         .seededEmbeddings(Tables.embeddings(spark, sfDir))
-        .filter(pmod(col("vec_id"), lit(20L)) === 0L)
+        .filter(pmod(origId, lit(20L)) === 0L)
         .persist()
       // exact twin: the entry's own dispatcher with the budget removed
       // (Long.MaxValue keeps it on the lossless label-blocked branch)

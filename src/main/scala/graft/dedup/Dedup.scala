@@ -609,9 +609,9 @@ object Dedup {
     * selection scalar (guarded UNION, the containment_pairs pattern).
     */
   /** Gate corpus for dedup_embedding: the raw embeddings plus ONE
-    * perturbed copy of every 7th vector (vec_id + 1e8, same label,
-    * dim-0 scaled by 1.02 + 0.001 in double then rounded back to
-    * float). The synthetic embeddings are near-orthogonal (max
+    * perturbed copy of every 7th vector (copy id −(vec_id+1), same
+    * label, dim-0 scaled by 1.02 + 0.001 in double then rounded back
+    * to float). The synthetic embeddings are near-orthogonal (max
     * within-label cosine ≈ 0.47 at sf0.01), so a 0.99-threshold
     * near-dup query over the raw table is provably EMPTY at every SF —
     * a hash match of two empty results exercises schema and dispatch
@@ -626,8 +626,15 @@ object Dedup {
     */
   def seededEmbeddings(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"), col("embedding"))
+    // copy id = −(vec_id+1): a bijection onto the NEGATIVE ids, which no
+    // corpus generator emits — the round-8 +1e8 offset COLLIDED with
+    // GenScale's ×1e8 copy-id stride at sf10 (id 0's seeded copy = 1e8 =
+    // GenScale copy 1 of vector 0), and two different vectors sharing a
+    // vec_id corrupted the oracle's per-id signature GROUP BY while the
+    // engine signed per row — the first real divergence CORRECTNESS_SF10
+    // caught (engine 121k pairs vs oracle 52k)
     val copies = base.filter(pmod(col("vec_id"), lit(7L)) === 0L)
-      .select((col("vec_id") + lit(100000000L)).as("vec_id"), col("label"),
+      .select((-col("vec_id") - lit(1L)).as("vec_id"), col("label"),
         transform(col("embedding"), (x, i) =>
           when(i === lit(0),
             (x.cast("double") * lit(1.02) + lit(0.001)).cast("float"))
@@ -1140,7 +1147,7 @@ object Dedup {
       s"""WITH embx AS (
             SELECT vec_id, label, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000000, label,
+            SELECT -(vec_id + 1), label,
               CAST(list_transform(range(1, 65), i -> CASE WHEN i = 1
                   THEN CAST(CAST(embedding[1] AS DOUBLE) * 1.02 + 0.001 AS FLOAT)
                   ELSE embedding[i] END) AS FLOAT[]) AS embedding

@@ -17,25 +17,40 @@ object Relational {
   val defs: Map[String, QueryDef] = Map(
 
     // C1 — multi-aggregate group-by, TPC-H Q1 style: partial agg map-side,
-    // one shuffle on the (tiny) group key.
+    // one shuffle on the (tiny) group key. MONEY SUMS ARE EXACT DECIMALS
+    // (round-9 sf10 finding): prices/discounts are 2 dp values, and a
+    // double sum over 60M rows differs between engines in its last bits
+    // because the partial-agg tree and a sequential scan add in different
+    // orders (measured at sf10: ...372.9941 vs ...372.9982). Casting each
+    // operand to its true decimal scale first makes the sum exact and
+    // order-independent; ONE cast to double at the end is then
+    // correctly-rounded identically on both engines. Small-magnitude
+    // averages keep the double path (their 4 dp rounding absorbs tails).
     "q1_agg" -> QueryDef(
-      (s, d) =>
+      (s, d) => {
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(18,2)")
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 4).as("sum_qty"),
-            round(sum("l_extendedprice"), 4).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-              .as("sum_disc_price"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (lit(1).cast("decimal(18,2)") - disc))
+              .cast("double").as("sum_disc_price"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_discount"), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus"),
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,
-                round(sum(l_extendedprice), 4) AS sum_base_price,
-                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
                 round(avg(l_discount), 4) AS avg_disc,
                 count(*) AS count_order
@@ -45,7 +60,8 @@ object Relational {
          ORDER BY l_returnflag, l_linestatus"""),
 
     // C2 — selective filter + scalar agg, TPC-H Q6 style. The three
-    // predicates all push to the parquet scan (PushedFilters).
+    // predicates all push to the parquet scan (PushedFilters). Revenue
+    // is an exact decimal sum (see q1_agg).
     "q6_filter" -> QueryDef(
       (s, d) =>
         Tables.lineitem(s, d)
@@ -53,9 +69,12 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01") &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
-            .as("revenue")),
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * col("l_discount").cast("decimal(18,2)"))
+            .cast("double").as("revenue")),
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -153,12 +172,16 @@ object Relational {
       (s, d) =>
         Tables.orders(s, d)
           .rollup("o_orderstatus", "o_orderpriority")
-          .agg(round(sum("o_totalprice"), 4).as("total"),
+          // exact decimal money sum (q1_agg discipline)
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first),
       """SELECT o_orderstatus, o_orderpriority,
-                round(sum(o_totalprice), 4) AS total, count(*) AS n
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total,
+                count(*) AS n
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST"""),

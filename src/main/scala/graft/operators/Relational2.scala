@@ -260,11 +260,18 @@ object Relational2 {
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name").as("nation"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-            .as("revenue"))
+          // exact decimal money sum (q1_agg discipline — the double sum
+          // diverged between engines in its last bits at sf10)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1).cast("decimal(18,2)")
+                - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("nation")),
       """SELECT n_name AS nation,
-                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

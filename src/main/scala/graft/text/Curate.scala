@@ -130,12 +130,11 @@ object Curate {
            FROM documents),
          scored AS (
            SELECT doc_id, len(t) AS n_tokens,
-                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-                        + 0.4 * (CAST(len(list_filter(t,
-                            x -> x IN ('the','a','of','and','to','in','is')))
-                            AS DOUBLE) / CAST(len(t) AS DOUBLE))
-                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
-                        4) AS quality
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS quality
            FROM toks),
          """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
@@ -324,12 +323,11 @@ object Curate {
            FROM documents),
          scored AS (
            SELECT doc_id, source, len(t) AS n_tokens,
-                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-                        + 0.4 * (CAST(len(list_filter(t,
-                            x -> x IN ('the','a','of','and','to','in','is')))
-                            AS DOUBLE) / CAST(len(t) AS DOUBLE))
-                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
-                        4) AS quality
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS quality
            FROM toks),
          """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (
@@ -394,12 +392,11 @@ object Curate {
            FROM documents),
          scored AS (
            SELECT doc_id, len(t) AS n_tokens,
-                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-                        + 0.4 * (CAST(len(list_filter(t,
-                            x -> x IN ('the','a','of','and','to','in','is')))
-                            AS DOUBLE) / CAST(len(t) AS DOUBLE))
-                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
-                        4) AS quality
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS quality
            FROM toks),
          """ + Dedup.MurmurSql.pairGraphChainSql + """,
          sym_e AS (

@@ -51,21 +51,39 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** THE quality score — 0.4·length-prior + 0.4·stopword-ratio +
-    * 0.2·(1−symbol-ratio), rounded 4 dp. Single definition shared by
-    * quality_score, quality_calibrate, and Curate.keptSet so the three
-    * sites (and their SQL oracles) cannot silently de-synchronize.
+    * 0.2·(1−symbol-ratio), at 4 dp. Single definition shared by
+    * quality_score, quality_calibrate, quality_by_lang, and
+    * Curate.keptSet so the sites (and their SQL oracles) cannot
+    * silently de-synchronize.
+    *
+    * In EXACT integer arithmetic (round-9 sf10
+    * finding): the score is a rational —
+    * 0.4·min(n,100)/100 + 0.4·k/n + 0.2·(lc−sym)/lc
+    * = NUM / D with NUM = min(n,100)·n·lc + 100·k·lc + 50·n·(lc−sym)
+    * and D = 250·n·lc — so `round(double, 4)` re-introduced the
+    * engine-native rounding divergence at decimal .00005 boundaries
+    * (Spark BigDecimal HALF_UP vs DuckDB C round; first sampled at
+    * sf10: 0.3178 vs 0.3177). Half-up in exact integers instead:
+    * ⌊(2·NUM·10⁴ + D) / (2D)⌋, computed in decimal(38,0) via the
+    * pmod-subtract exact division (the quotient is an integer, so the
+    * decimal division's scale-6 rounding is a no-op), one final cast
+    * to double. The oracles compute the identical HUGEINT expression.
     */
   def qualityCol: Column = {
     val t = split(trim(col("text")), "\\s+")
-    val n = size(t).cast("double")
-    val stopRatio =
-      size(filter(t, x => x.isInCollection(stopwords))).cast("double") / n
-    val symRatio =
-      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-        .cast("double") / length(col("text")).cast("double")
-    val lenScore = least(n / lit(100.0), lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.4) * stopRatio +
-      lit(0.2) * (lit(1.0) - symRatio), 4)
+    def d38(c: Column): Column = c.cast("decimal(19,0)")
+    val n = d38(size(t).cast("long"))
+    val k = d38(size(filter(t, x => x.isInCollection(stopwords))).cast("long"))
+    val lc = d38(length(col("text")).cast("long"))
+    val sym = d38(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+      .cast("long"))
+    val num = least(n, lit(100L).cast("decimal(19,0)")) * n * lc +
+      lit(100L).cast("decimal(19,0)") * k * lc +
+      lit(50L).cast("decimal(19,0)") * n * (lc - sym)
+    val den = lit(250L).cast("decimal(19,0)") * n * lc
+    val p = num * lit(20000L).cast("decimal(19,0)") + den
+    val q2 = den + den
+    ((p - pmod(p, q2)) / q2).cast("double") / lit(10000.0)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -154,20 +172,20 @@ object TextAnalysis {
             round(col("n_pass").cast("double") / col("n_docs"), 4)
               .as("pass_rate"))
           .orderBy("lang"),
-      """WITH scored AS (
+      """WITH prep AS (
            SELECT lang,
-                  round(0.4 * least(CAST(len(regexp_split_to_array(
-                          trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
-                        + 0.4 * (CAST(len(list_filter(
-                            regexp_split_to_array(trim(text), '\s+'),
-                            x -> x IN ('the','a','of','and','to','in','is')))
-                            AS DOUBLE)
-                          / len(regexp_split_to_array(trim(text), '\s+')))
-                        + 0.2 * (1.0 - CAST(length(regexp_replace(text,
-                            '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                            / length(text)),
-                        4) AS q
-           FROM documents)
+                  regexp_split_to_array(trim(text), '\s+') AS t,
+                  length(text) AS lc,
+                  length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS sym
+           FROM documents),
+         scored AS (
+           SELECT lang,
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS q
+           FROM prep)
          SELECT lang, count(*) AS n_docs,
                 round(sum(CAST(round(q * 10000, 0) AS BIGINT))
                       / (10000.0 * count(*)), 4) AS mean_quality,
@@ -251,13 +269,16 @@ object TextAnalysis {
                   CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                     / CAST(len(t) AS DOUBLE) AS stop_ratio,
                   CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE) AS sym_ratio,
-                  least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) AS len_score
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS quality
            FROM q)
          SELECT doc_id, n_tokens,
                 round(stop_ratio, 4) AS stopword_ratio,
                 round(sym_ratio, 4) AS symbol_ratio,
-                round(0.4 * len_score + 0.4 * stop_ratio
-                      + 0.2 * (1.0 - sym_ratio), 4) AS quality
+                quality
          FROM m ORDER BY doc_id"""),
 
     // D8 — language ID: per-language marker counts + deterministic
@@ -396,11 +417,11 @@ object TextAnalysis {
            FROM documents),
          m AS (
            SELECT doc_id, source,
-                  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-                        + 0.4 * (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                                 / CAST(len(t) AS DOUBLE))
-                        + 0.2 * (1.0 - CAST(sym AS DOUBLE) / CAST(lc AS DOUBLE)),
-                        4) AS quality
+                  CAST(((2 * (least(len(t), 100) * CAST(len(t) AS HUGEINT) * lc
+                              + 100 * CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS HUGEINT) * lc
+                              + 50 * CAST(len(t) AS HUGEINT) * (lc - sym)) * 10000
+                          + 250 * CAST(len(t) AS HUGEINT) * lc)
+                         // (500 * CAST(len(t) AS HUGEINT) * lc)) AS DOUBLE) / 10000.0 AS quality
            FROM q)
          SELECT doc_id, source, quality,
                 round(percent_rank() OVER (PARTITION BY source
