@@ -28,16 +28,16 @@ object Relational {
     // averages keep the double path (their 4 dp rounding absorbs tails).
     "q1_agg" -> QueryDef(
       (s, d) => {
-        val price = col("l_extendedprice").cast("decimal(18,2)")
-        val disc = col("l_discount").cast("decimal(18,2)")
+        val cp = round(col("l_extendedprice") * 100, 0).cast("long")
+        val cd = round(col("l_discount") * 100, 0).cast("long")
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             round(sum("l_quantity"), 4).as("sum_qty"),
-            sum(price).cast("double").as("sum_base_price"),
-            sum(price * (lit(1).cast("decimal(18,2)") - disc))
-              .cast("double").as("sum_disc_price"),
+            (sum(cp).cast("double") / 100.0).as("sum_base_price"),
+            (sum(cp * (lit(100L) - cd)).cast("double") / 10000.0)
+              .as("sum_disc_price"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_discount"), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -45,12 +45,11 @@ object Relational {
       },
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 4) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (CAST(1 AS DECIMAL(18,2))
-                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                  AS sum_disc_price,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS sum_base_price,
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     AS DOUBLE) / 10000.0 AS sum_disc_price,
                 round(avg(l_quantity), 4) AS avg_qty,
                 round(avg(l_discount), 4) AS avg_disc,
                 count(*) AS count_order
@@ -69,12 +68,12 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01") &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-              * col("l_discount").cast("decimal(18,2)"))
-            .cast("double").as("revenue")),
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
+          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
+              * round(col("l_discount") * 100, 0).cast("long"))
+            .cast("double") / 10000.0).as("revenue")),
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * CAST(round(l_discount * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 10000.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -172,15 +171,15 @@ object Relational {
       (s, d) =>
         Tables.orders(s, d)
           .rollup("o_orderstatus", "o_orderpriority")
-          // exact decimal money sum (q1_agg discipline)
-          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").as("total"),
+          // exact long-cents money sum (q1_agg discipline)
+          .agg((sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("total"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first),
       """SELECT o_orderstatus, o_orderpriority,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS total,
                 count(*) AS n
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST,

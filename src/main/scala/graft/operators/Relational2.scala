@@ -260,18 +260,16 @@ object Relational2 {
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name").as("nation"))
-          // exact decimal money sum (q1_agg discipline — the double sum
-          // diverged between engines in its last bits at sf10)
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-              * (lit(1).cast("decimal(18,2)")
-                - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("revenue"))
+          // exact long-cents money sum (q1_agg discipline — the double
+          // sum diverged between engines in its last bits at sf10)
+          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .cast("double") / 10000.0).as("revenue"))
           .orderBy(col("revenue").desc, col("nation")),
       """SELECT n_name AS nation,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (CAST(1 AS DECIMAL(18,2))
-                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                  AS revenue
+                CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     AS DOUBLE) / 10000.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

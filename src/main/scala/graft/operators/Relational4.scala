@@ -147,16 +147,16 @@ object Relational4 {
           .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
             grouping(col("o_orderpriority")).cast("int").as("g_priority"),
             count(lit(1)).as("n"),
-            // exact decimal money sum (q1_agg discipline)
-            sum(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double").as("total"))
+            // exact long-cents money sum (q1_agg discipline)
+            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("double") / 100.0).as("total"))
           .orderBy("o_orderstatus", "o_orderpriority"),
       """SELECT o_orderstatus, o_orderpriority,
                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                 CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                 count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY o_orderstatus, o_orderpriority"""),
@@ -192,14 +192,14 @@ object Relational4 {
           .groupBy(floor(col("o_totalprice") / 50000).cast("bigint")
             .as("bucket"))
           .agg(count(lit(1)).as("n"),
-            // exact decimal money sum (q1_agg discipline)
-            sum(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double").as("total"))
+            // exact long-cents money sum (q1_agg discipline)
+            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("double") / 100.0).as("total"))
           .orderBy("bucket"),
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
                 count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS total
          FROM orders GROUP BY 1 ORDER BY bucket"""),
 
     // C52 — SCD2 history: each order's validity interval per customer,

@@ -59,14 +59,14 @@ object Skew {
           Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           "o_custkey", "c_custkey", col("o_orderkey"), salts = 8)
           .groupBy("c_mktsegment")
-          // exact decimal money sum (q1_agg discipline)
+          // exact long-cents money sum (q1_agg discipline)
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double").as("revenue"))
+            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .cast("double") / 100.0).as("revenue"))
           .orderBy("c_mktsegment"),
       """SELECT c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS revenue
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0 AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
 

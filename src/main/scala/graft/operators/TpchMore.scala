@@ -73,16 +73,14 @@ object TpchMore {
               col("l_quantity").between(1, 20)) ||
               (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
                 col("l_quantity").between(10, 30)))
-          // exact decimal money sum (q1_agg discipline)
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-              * (lit(1).cast("decimal(18,2)")
-                - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("revenue"),
+          // exact long-cents money sum (q1_agg discipline)
+          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .cast("double") / 10000.0).as("revenue"),
             count(lit(1)).as("n_lines")),
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (CAST(1 AS DECIMAL(18,2))
-                             - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-                  AS revenue,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     AS DOUBLE) / 10000.0 AS revenue,
                 count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
