@@ -23,11 +23,20 @@ import org.apache.spark.sql.SparkSession
   * with the corpus, unlike the dense twin.
   *
   * Planted near-dup families: every 50th doc gets ONE sibling at
-  * doc_id + 1e8 with every 10th token substituted — shingle Jaccard
-  * ≈ 0.7 > the 0.5 threshold, so the pair graph has n/50 true pairs to
-  * find (an empty-output run would prove only that nothing was looked
-  * for). Everything is a pure function of (doc_id, pos) — no RNG state,
-  * no timestamps — so the corpus is reproducible bit-for-bit.
+  * doc_id + 1e8 with every 15th token substituted. Each substitution
+  * flips the ~3 3-gram shingles that cover it, so ~3/15 = 20% of each
+  * side's shingles differ and the expected shingle Jaccard is
+  * ≈ 0.8/1.2 ≈ 0.63 — a real margin over the 0.5 threshold (the
+  * round-9 every-10th rate worked out to ≈ 0.7/1.3 ≈ 0.54, thin enough
+  * that duplicate-shingle effects could push planted pairs under the
+  * cut, and the doc's "≈ 0.7" claim forgot the union denominator).
+  * ~n/50 true pairs exist for the graph to find (an empty-output run
+  * would prove only that nothing was looked for); treat the count as a
+  * floor to DERIVE from the exact graph (count pairs with
+  * doc_b = doc_a + 1e8), not to assert — boundary shingle effects at
+  * short docs can still shave individual pairs. Everything is a pure
+  * function of (doc_id, pos) — no RNG state, no timestamps — so the
+  * corpus is reproducible bit-for-bit.
   *
   * The non-document tables are copied through from `smallTablesSrcDir`
   * (point it at sf0.01) so the standard Verify/check_oracle harness
@@ -56,13 +65,14 @@ object GenZipf {
     (0 until n).map(p => token(docId, p)).mkString(" ")
   }
 
-  /** The sibling of a % 50 == 0 doc: same token stream, every 10th
-    * position substituted with a tagged variant.
+  /** The sibling of a % 50 == 0 doc: same token stream, every 15th
+    * position substituted with a tagged variant (expected shingle
+    * Jaccard ≈ 0.63 — see the object doc).
     */
   def siblingText(docId: Long): String = {
     val toks = docText(docId).split(" ")
     toks.indices.map(i =>
-      if (i % 10 == 0) toks(i) + "~z" else toks(i)).mkString(" ")
+      if (i % 15 == 0) toks(i) + "~z" else toks(i)).mkString(" ")
   }
 
   case class Doc(doc_id: Long, text: String, lang: String, source: String,

@@ -77,10 +77,17 @@ object Dedup {
       postingsSet: Option[DataFrame] = None): DataFrame = {
     val ex = postingsSet.getOrElse(postings(docs))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    // exact integer floor division (n − n mod d is an exact multiple,
+    // its double quotient is exact): the n·frac double product could
+    // disagree with the oracle's exact-DECIMAL floor by 1 near exact
+    // multiples of 1/frac docs, shifting df==cap boundary shingles
+    // across the hot cut (round-9 advice item 2)
+    val div = math.max(1L, math.round(1.0 / hotDfFrac))
+    val capCol = ((col("n_docs") - pmod(col("n_docs"), lit(div)))
+      / lit(div)).cast("long")
     ex.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") > greatest(lit(minDfCap),
-        (col("n_docs") * lit(hotDfFrac)).cast("long")))
+      .filter(col("df") > greatest(lit(minDfCap), capCol))
       .select("s")
   }
 
@@ -147,34 +154,31 @@ object Dedup {
   @volatile private var lastPairsPlan: String = "unbuilt"
   def pairsPlanResolved: String = lastPairsPlan
 
-  def sharedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.getOrBuild(s, d) {
-      // Pair-graph plan selection for the DENSE-decade regime, now
-      // AUTO-DISPATCHED (round-9: the round-8 env knob was not a
-      // design — a 100× deployment that forgot it got the quadratic).
-      // The exact inverted-index graph emits Σ df·(df−1) candidate
-      // rows, which on a saturated vocabulary grows ~quadratically in
-      // corpus size (measured: 2.8e4 → 2.5e6 → 2.5e8 → ~2.5e10 for
-      // sf0.01 → sf10; 662 s and 46 GB of agg state at sf10). The
-      // dispatcher measures that sum — the EXACT candidate count, one
-      // single-row action over the memoized postings — against the
-      // absolute [[pairsCandidateBudget]] and takes the lossless index
-      // path only when affordable; above budget it switches to the
-      // bounded LSH pair graph the catalog already proves as
-      // dedup_minhash (D3): linear signatures + output-bounded band
-      // join, recall ≈ 0.87 at the J = 0.5 boundary and ≥ 0.999 at
-      // J ≥ 0.7, measured 97% pair recall at the sf10 decade. Every
-      // downstream closure-family oracle replicates BOTH branches and
-      // the selection scalar (guarded UNION on the same Σ df·(df−1),
-      // [[MurmurSql.pairGraphChainSql]]), so all 20 consumers stay
-      // hash-provable at every scale factor on whichever path the
-      // corpus selects. SPARK_GRAFT_PAIRS overrides for measurement
-      // runs ("exact" | "lsh"); unknown values FAIL rather than
-      // silently running some default plan.
+  /** Memoized dispatch DECISION per (session, corpus) — a boolean, not
+    * a frame. Kept separate from the frame memos so the LSH branch can
+    * alias [[sharedMinhashPairs]]' frame WITHOUT double ownership:
+    * before round 10 the alias itself sat in pairsMemo, and either
+    * memo's race-loser cleanup or LRU eviction would unpersist the
+    * frame the OTHER memo still served — a silent recompute cliff
+    * (round-9 advice item 4). Now exactly one memo owns each persisted
+    * frame: pairsMemo the exact graph, minhashMemo the LSH graph.
+    */
+  private val pairsModeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String), Boolean](
+        16, 0.75f, /* accessOrder = */ true) {
+        // bounded like AssetMemo so stopped sessions aren't pinned
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), Boolean])
+            : Boolean = size > 64
+      })
+
+  private def pairsUseLsh(s: SparkSession, d: String): Boolean =
+    pairsModeMemo.computeIfAbsent((s, d), { _ =>
       val docs = Tables.documents(s, d)
       val post = sharedPostings(s, d)
       val mode = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "auto")
-      val useLsh = mode match {
+      mode match {
         case "exact" => false
         case "lsh"   => true
         case "auto" =>
@@ -182,9 +186,17 @@ object Dedup {
           // needs no hot-set anti-join (the first probe formulation
           // cost a measured ~88 s of the 277 s sf10 build — two extra
           // aggregates + an anti-join over the postings for a number
-          // one filtered aggregate produces)
+          // one filtered aggregate produces).
+          // Cap in exact INTEGER arithmetic, replicated verbatim by the
+          // oracle (greatest(1000, count // 1000)): the earlier
+          // count*0.001 binary-double form could differ from DuckDB's
+          // exact DECIMAL FLOOR by 1 near exact multiples of 1000 docs,
+          // shifting df==cap boundary shingles across the hot cut and —
+          // near the 1e9 budget — potentially flipping the engine and
+          // the oracle onto DIFFERENT pair-graph branches (round-9
+          // advice item 2)
           val cap = math.max(1000L,
-            (docs.select(count(lit(1))).head().getLong(0) * 0.001).toLong)
+            docs.select(count(lit(1))).head().getLong(0) / 1000L)
           val spent = post.groupBy("s").agg(count(lit(1)).as("df"))
             .filter(col("df") <= cap)
             .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
@@ -193,22 +205,72 @@ object Dedup {
         case other => throw new IllegalArgumentException(
           s"SPARK_GRAFT_PAIRS must be auto|exact|lsh, got '$other'")
       }
-      lastPairsPlan = if (useLsh) "lsh" else "exact"
-      if (useLsh) {
-        // loud by design: results built on this graph are ~0.87-recall
-        // approximate at the J=0.5 boundary, and a reader of any
-        // artifact produced in this mode must be able to tell
+    })
+
+  def sharedPairs(s: SparkSession, d: String): DataFrame = {
+    // Pair-graph plan selection for the DENSE-decade regime,
+    // AUTO-DISPATCHED (round-9: the round-8 env knob was not a
+    // design — a 100× deployment that forgot it got the quadratic).
+    // The exact inverted-index graph emits Σ df·(df−1) candidate
+    // rows, which on a saturated vocabulary grows ~quadratically in
+    // corpus size (measured: 2.8e4 → 2.5e6 → 2.5e8 → ~2.5e10 for
+    // sf0.01 → sf10; 662 s and 46 GB of agg state at sf10). The
+    // dispatcher measures that sum — the EXACT candidate count, one
+    // single-row action over the memoized postings — against the
+    // absolute [[pairsCandidateBudget]] and takes the lossless index
+    // path only when affordable; above budget it switches to the
+    // bounded LSH pair graph the catalog already proves as
+    // dedup_minhash (D3): linear signatures + output-bounded band
+    // join, recall ≈ 0.87 at the J = 0.5 boundary and ≥ 0.999 at
+    // J ≥ 0.7, measured 97% pair recall at the sf10 decade. Every
+    // downstream closure-family oracle replicates BOTH branches and
+    // the selection scalar (guarded UNION on the same Σ df·(df−1),
+    // [[MurmurSql.pairGraphChainSql]]), so all 20 consumers stay
+    // hash-provable at every scale factor on whichever path the
+    // corpus selects. SPARK_GRAFT_PAIRS overrides for measurement
+    // runs ("exact" | "lsh"); unknown values FAIL rather than
+    // silently running some default plan.
+    val useLsh = pairsUseLsh(s, d)
+    lastPairsPlan = if (useLsh) "lsh" else "exact"
+    if (useLsh) {
+      // loud by design: results built on this graph are ~0.87-recall
+      // approximate at the J=0.5 boundary, and a reader of any
+      // artifact produced in this mode must be able to tell
+      System.err.println(
+        s"[graft] sharedPairs($d): candidate budget exceeded or " +
+          "SPARK_GRAFT_PAIRS=lsh — serving the LSH (minhash) pair " +
+          "graph, not the exact inverted-index graph")
+      // serve dedup_minhash's memoized frame — above budget the two
+      // are the SAME computation, and a full-catalog run would
+      // otherwise pay the band join + verify twice. NOT re-stored in
+      // pairsMemo: minhashMemo is the sole owner of that frame.
+      sharedMinhashPairs(s, d)
+    } else sharedExactPairs(s, d)
+  }
+
+  /** The EXACT inverted-index pair graph, unconditionally — never the
+    * LSH stand-in, regardless of the candidate budget. This is what
+    * [[sharedPairs]] serves below budget; it exists as its own entry
+    * point because evaluation harnesses (lsh_recall, the RecallProbe
+    * mains) need the lossless baseline BY DEFINITION: under the round-9
+    * auto dispatch, a baseline spelled `sharedPairs` silently became
+    * the LSH graph itself precisely at the dense scales the recall
+    * metric exists to measure, degenerating recall/precision to a
+    * 1.0 self-comparison (round-9 advice item 1). Above budget this is
+    * the measured-expensive quadratic (662 s / 46 GB agg state at the
+    * dense sf10) — the cost is inherent to a lossless baseline, and the
+    * build says so on stderr rather than switching plans.
+    */
+  def sharedExactPairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrBuild(s, d) {
+      if (pairsUseLsh(s, d))
         System.err.println(
-          s"[graft] sharedPairs($d): candidate budget exceeded or " +
-            s"mode=$mode — building the LSH (minhash) pair graph, " +
-            "not the exact inverted-index graph")
-        // share dedup_minhash's memoized frame — above budget the two
-        // are the SAME computation, and a full-catalog run would
-        // otherwise pay the band join + verify twice
-        sharedMinhashPairs(s, d)
-      } else
-        ngramJaccardPairs(docs, 0.5, postingsSet = Some(post))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s"[graft] sharedExactPairs($d): corpus is above the pair " +
+            "budget — building the EXACT baseline graph anyway " +
+            "(recall-harness semantics; expect the quadratic cost)")
+      ngramJaccardPairs(Tables.documents(s, d), 0.5,
+          postingsSet = Some(sharedPostings(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The 128-perm/32-band minhash pair graph at J ≥ 0.5 as its own
@@ -564,6 +626,35 @@ object Dedup {
           .as("n_collided"),
         sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
       .orderBy("band")
+  }
+
+  /** Band-bucket SIZE histogram of the production 128-perm / 32-band
+    * LSH banding — (bucket size, number of buckets at that size) over
+    * all 32 bands, built with the identical packed keys the candidate
+    * join groups on. This is the measurement input for the band-cap
+    * asymptote sweep (graft.BandMass): every per-cap candidate mass
+    * Σ_{sz ≤ cap} C(sz,2) is a pure function of this histogram, so one
+    * signature pass per corpus supports the whole cap sweep.
+    */
+  def bandBucketSizeHist(docs: DataFrame): DataFrame = {
+    val numHashes = 128
+    val bands = 32
+    val rows = numHashes / bands
+    val sig = withShingles(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        HashOps.minhash(col("shingles"), numHashes).as("sig"))
+    val banded = sig.select(
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(
+          packedKey(element_at(col("sig"), b * lit(rows) + 1),
+            element_at(col("sig"), b * lit(rows) + 2)).as("k1"),
+          packedKey(element_at(col("sig"), b * lit(rows) + 3),
+            element_at(col("sig"), b * lit(rows) + 4)).as("k2")))))
+      .withColumnRenamed("pos", "band")
+      .select(col("band"), col("col.k1").as("k1"), col("col.k2").as("k2"))
+    banded.groupBy("band", "k1", "k2").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
   }
 
   /** D4 — SimHash near-dup: 64-bit signature, 4 bands of 16 bits for
@@ -931,7 +1022,22 @@ object Dedup {
       * selected. CTE names are p-prefixed to never collide with the
       * splicing statements' own CTEs.
       */
-    val pairGraphChainSql: String =
+    val pairGraphChainSql: String = pairGraphChain(forceExact = false)
+
+    /** Forced-exact variant of the chain: the budget guards are
+      * replaced so the lossless inverted-index branch ALWAYS runs and
+      * the LSH branch is statically empty — the lsh_recall baseline,
+      * which must never degenerate to comparing the LSH graph with
+      * itself above budget (round-9 advice item 1). Same CTE names and
+      * final `pairs` contract as [[pairGraphChainSql]].
+      */
+    val exactPairChainSql: String = pairGraphChain(forceExact = true)
+
+    private def pairGraphChain(forceExact: Boolean): String = {
+      val exactGuard =
+        if (forceExact) "TRUE" else "(SELECT v FROM pspent) <= 1000000000"
+      val lshGuard =
+        if (forceExact) "FALSE" else "(SELECT v FROM pspent) > 1000000000"
       s"""ptoks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents),
@@ -944,7 +1050,7 @@ object Dedup {
                   FROM psh),
           pdfs AS MATERIALIZED (SELECT s, count(*) AS df FROM pex GROUP BY s),
           phot AS MATERIALIZED (SELECT s FROM pdfs WHERE df > greatest(1000,
-            CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
+            (SELECT count(*) FROM documents) // 1000)),
           pexf AS MATERIALIZED (
             SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)),
           pspent AS MATERIALIZED (
@@ -954,14 +1060,14 @@ object Dedup {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                    any_value(a.n) AS na, any_value(b.n) AS nb
             FROM pexf a JOIN pexf b ON a.s = b.s AND a.doc_id < b.doc_id
-            WHERE (SELECT v FROM pspent) <= 1000000000
+            WHERE $exactGuard
             GROUP BY 1, 2),
           pepairs AS (
             SELECT doc_a, doc_b,
                    round(common * 1.0 / (na + nb - common), 4) AS jaccard
             FROM pecand WHERE common * 1.0 / (na + nb - common) >= 0.5),
           plsrc AS (SELECT doc_id, shingles FROM psh
-                    WHERE (SELECT v FROM pspent) > 1000000000),
+                    WHERE $lshGuard),
           plex AS (SELECT doc_id, unnest(shingles) AS tok FROM plsrc),
           ${tokPrepP("lp", "plex", "")},
           ${fmixStagesP("lp", "")},
@@ -998,6 +1104,7 @@ object Dedup {
                       WHERE j >= 0.5),
           pairs AS MATERIALIZED (
             SELECT * FROM pepairs UNION ALL SELECT * FROM plpairs)"""
+    }
 
     /** minhash_band_profile oracle: per-band bucket-size statistics
       * over the same murmur3-exact banded signatures.
@@ -1031,7 +1138,7 @@ object Dedup {
                   FROM sh),
           cdfs AS (SELECT s, count(*) AS df FROM cex GROUP BY s),
           chot AS (SELECT s FROM cdfs WHERE df > greatest(1000,
-            CAST(FLOOR((SELECT count(*) FROM documents) * 0.001) AS BIGINT))),
+            (SELECT count(*) FROM documents) // 1000)),
           cexf AS (SELECT * FROM cex WHERE s NOT IN (SELECT s FROM chot)),
           cspent AS (SELECT coalesce(sum(df * (df - 1)), 0) AS v FROM cdfs
                      WHERE s NOT IN (SELECT s FROM chot)),
@@ -1122,12 +1229,6 @@ object Dedup {
     }
 
     private val hyperplaneSigsSql: String = hyperplaneSigsSqlFor("embeddings")
-
-    /** Public alias of the `pi..sigs` chain over the raw embeddings
-      * table, for oracles outside this object (knn_graph's
-      * budget-dispatched sub-blocking).
-      */
-    val embeddingSigsSql: String = hyperplaneSigsSql
 
     /** dedup_embedding oracle: BOTH plan-selected branches (exact
       * label-blocked self-join ≤ budget; 4-table × 8-bit hyperplane
@@ -1385,8 +1486,7 @@ object Dedup {
          hot AS (
            SELECT s FROM ex WHERE doc_id < 400 GROUP BY s
            HAVING count(*) > greatest(1000,
-             CAST(FLOOR((SELECT count(*) FROM documents WHERE doc_id < 400)
-                  * 0.001) AS BIGINT))),
+             (SELECT count(*) FROM documents WHERE doc_id < 400) // 1000)),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                   any_value(a.n) AS na, any_value(b.n) AS nb
@@ -1460,8 +1560,10 @@ object Dedup {
     * against the exact inverted-index pairs at the same threshold — the
     * measurement every dedup pipeline runs before trusting an
     * approximate method at corpus scale (band/row tuning is meaningless
-    * without it). Reuses the memoized exact pair asset; the LSH side is
-    * the production candidate path. Counts join on the pair key — both
+    * without it). The baseline is [[sharedExactPairs]] — the FORCED
+    * exact graph, never the dispatched [[sharedPairs]], which above
+    * budget IS the LSH graph and would make the metric a 1.0
+    * self-comparison; the LSH side is the production candidate path. Counts join on the pair key — both
     * sides are pair-bounded, far smaller than the corpus. Ratios are
     * exact-integer divisions, NULL-guarded at zero on both engines
     * (Spark div-by-zero yields NULL, DuckDB yields NaN — the guard
@@ -1474,10 +1576,21 @@ object Dedup {
     */
   lazy val evalDefs: Map[String, QueryDef] = {
     val exactSql = defs("dedup_ngram").oracle.get
+    // lsh_recall's baseline must be the FORCED-EXACT chain, not the
+    // dispatched one: above budget the dispatched chain (and a
+    // sharedPairs-spelled engine side) resolve to the LSH graph itself,
+    // degenerating recall/precision to a 1.0 self-comparison exactly at
+    // the dense scales the metric exists to measure (round-9 advice
+    // item 1). Below budget the two chains are value-identical, so the
+    // committed gates are unchanged.
+    val exactBaselineSql =
+      s"""SELECT doc_a, doc_b, jaccard
+          FROM (WITH ${MurmurSql.exactPairChainSql}
+                SELECT * FROM pairs) t"""
     val lshSql = MurmurSql.minhashPairsSql
     Map("lsh_recall" -> QueryDef(
       (s, d) => {
-        val exact = sharedPairs(s, d).select("doc_a", "doc_b")
+        val exact = sharedExactPairs(s, d).select("doc_a", "doc_b")
         val lsh = sharedMinhashPairs(s, d)
           .select(col("doc_a").as("l_a"), col("doc_b").as("l_b"))
         exact
@@ -1502,10 +1615,10 @@ object Dedup {
                       THEN round(n_common * 1.0 / n_lsh, 4) END AS precision
           FROM (
             SELECT
-              (SELECT count(*) FROM ($exactSql) t) AS n_exact,
+              (SELECT count(*) FROM ($exactBaselineSql) t) AS n_exact,
               (SELECT count(*) FROM ($lshSql) t) AS n_lsh,
               (SELECT count(*)
-               FROM ($exactSql) a JOIN ($lshSql) b
+               FROM ($exactBaselineSql) a JOIN ($lshSql) b
                  ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b) AS n_common) s"""),
 
     // D80 — cross-modal pair verification: every lexical near-dup pair

@@ -159,14 +159,25 @@ object SyntheticOrders {
     * re-landing the producer's payloads on every bench repetition would
     * time the test harness, not the streaming decode under test.
     */
-  @volatile private var wireDirMemo: Option[((SparkSession, String), String)] = None
+  /** Keyed landed-dir memos (round-9 advice item 5): the earlier
+    * single-slot form re-landed the full wire corpus on EVERY corpus
+    * alternation — exactly the pattern the leak-check suites and a
+    * multi-SF bench run — and leaked a fresh never-deleted temp
+    * directory each time. A small keyed map caps the re-land churn at
+    * one landing per (session, sfDir), and the landing lives under
+    * [[Tables.scratchDir]] — the session-scoped scratch root that is
+    * already registered for recursive delete at JVM exit (never
+    * eagerly — a streaming consumer may still be reading a landed dir
+    * when the session ends).
+    */
+  private val wireDirMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), String]
 
   def wireDir(s: SparkSession, d: String): String = synchronized {
-    wireDirMemo match {
-      case Some(((`s`, `d`), dir)) => dir
+    Option(wireDirMemo.get((s, d))) match {
+      case Some(dir) => dir
       case _ =>
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_wire").toString + "/wire"
+        val dir = graft.Tables.scratchDir(s, d, "wireland") + "/wire"
         // Pre-split the landed wire asset to one file per core: the
         // streaming file source plans its micro-batch from the FILE
         // list, and the upstream encode frame is AQE-coalesced (1-2
@@ -178,7 +189,7 @@ object SyntheticOrders {
         // once per (session, sfDir), outside any timed query.
         wire(s, d).repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(dir)
-        wireDirMemo = Some(((s, d), dir))
+        wireDirMemo.put((s, d), dir)
         dir
     }
   }
@@ -194,14 +205,14 @@ object SyntheticOrders {
     * write per rep). Bench reports the landing as its own
     * `dlq_wire_build` line.
     */
-  @volatile private var dlqDirMemo: Option[((SparkSession, String), String)] = None
+  private val dlqDirMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), String]
 
   def dlqWireDir(s: SparkSession, d: String): String = synchronized {
-    dlqDirMemo match {
-      case Some(((`s`, `d`), dir)) => dir
+    Option(dlqDirMemo.get((s, d))) match {
+      case Some(dir) => dir
       case _ =>
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_dlqwire").toString + "/wire"
+        val dir = graft.Tables.scratchDir(s, d, "dlqwireland") + "/wire"
         val n = nested(s, d)
         val enc = EventCodec.encodeCol(n)
         val corruptPick =
@@ -214,7 +225,7 @@ object SyntheticOrders {
           .select("data")
           .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(dir)
-        dlqDirMemo = Some(((s, d), dir))
+        dlqDirMemo.put((s, d), dir)
         dir
     }
   }
