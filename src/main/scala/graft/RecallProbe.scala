@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * is self-consistency, not recall — this main measures recall against
   * the exact twin at whatever scale factor it is pointed at.
   *
-  * `RecallProbe <sfDir> [knn|emb|all]`, prints one JSON line.
+  * `RecallProbe <sfDir> [knn|emb|cont|all]`, prints one JSON line.
   *
-  *  - knn: recall@3 of the budget-dispatched knn_graph (b signature
-  *    bits of label sub-blocking, Knn.graphTopK) against the exact
-  *    b = 0 label-block graph, on a 1/97 sampled query set. Sampling
-  *    the QUERY side is exact, not approximate: the graph's rows for a
-  *    query depend only on that query's (label, subkey) block, so the
-  *    sampled rows are identical to the full run's — only the exact
-  *    twin's cost (|sample| × label-block cosines) needed bounding.
+  *  - knn: recall@3 of the budget-dispatched knn_graph (exact below
+  *    budget, NN-descent above — Knn.graphTopK) against the exact
+  *    label-block graph, on a 1/97 sampled query set. The approx side
+  *    builds the FULL graph (NN-descent is global by nature) and is
+  *    filtered to the sample; the exact twin restricts its query side
+  *    up front (exact, not approximate: a query's rows depend only on
+  *    its own label block), bounding its cost to |sample| ×
+  *    label-block cosines.
   *  - emb: pair recall of the dedup_embedding hyperplane-LSH ladder
   *    rung the sf10 corpus selects — (2 tables × 16 bits) — against
   *    the exact label-blocked pairs at cos ≥ 0.99, on the seeded
@@ -53,15 +54,16 @@ object RecallProbe {
     if (which == "all" || which == "knn") {
       val e = Tables.embeddings(spark, sfDir)
       val qf = pmod(col("vec_id"), lit(97L)) === 0L
-      // optional third arg: force the approx side's sub-block bit count
-      // (the recall-vs-cost dial; omitted = the dispatcher's own b)
-      val forcedB = if (args.length > 2) Some(args(2).toInt) else None
+      // optional third arg: override NN-descent's internal list width
+      // (the recall-vs-cost dial; omitted = the production default)
+      val kInt = if (args.length > 2) args(2).toInt else 30
       val approx = graft.similarity.Knn
-        .graphTopK(e, 3, queryFilter = Some(qf), forceB = forcedB)
+        .graphTopK(e, 3, kInternal = kInt)
+        .filter(qf)
         .select("vec_id", "neighbor_id")
         .persist()
       val exact = graft.similarity.Knn
-        .graphTopK(e, 3, queryFilter = Some(qf), forceB = Some(0))
+        .exactLabelGraph(e, 3, queryFilter = Some(qf))
         .select("vec_id", "neighbor_id")
         .persist()
       val nExact = exact.count()
@@ -72,6 +74,106 @@ object RecallProbe {
         s""""n_exact_edges":$nExact,"n_common":$nCommon,""" +
         s""""recall_at_3":${f"${nCommon.toDouble / math.max(nExact, 1)}%.4f"}}"""
       approx.unpersist(); exact.unpersist()
+    }
+
+    if (which == "all" || which == "cont") {
+      // Deep-asymmetry containment recall (round-9 verdict item 5):
+      // plant snippet docs that are PREFIXES of sampled corpus docs at
+      // size ratios R ∈ {2, 5, 10} (containment(snippet ⊆ parent) = 1
+      // by construction), run the ABOVE-BUDGET LSH branch
+      // (containmentPairsLsh, the plan the dense decade selects), and
+      // report per-R recall of the planted directed pairs. Ground
+      // truth respects the shared hot-filter contract: a planted pair
+      // counts only if its HOT-FILTERED containment clears the 0.8
+      // threshold (the exact branch would drop it identically
+      // otherwise). Planted ids are negative (never collide with
+      // GenScale's +c·1e8 copy strides).
+      // corpus docs are 10-100 tokens, so snippets can't be carved out
+      // of them; invert the construction instead — plant LARGE docs as
+      // concatenations of r consecutive sampled docs. Every member's
+      // shingle set is then a SUBSET of the planted doc's (containment
+      // 1.0 by construction; junction shingles only grow the large
+      // side), and the member→large size ratio R̂ = nb/na spans the
+      // decades as r and the member length vary. Recall is reported
+      // bucketed by measured R̂ ∈ [1,3) / [3,7) / [7,∞).
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val sampled = docs
+        .filter(pmod(col("doc_id"), lit(101L)) === 0L)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
+      val groups = Seq(2, 5, 10)
+      val larges = groups.map { r =>
+        sampled
+          .withColumn("grp", (col("rn") / r).cast("long"))
+          .groupBy("grp")
+          .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("rn"),
+              col("text")))), p => p.getField("text"))).as("text"),
+            count(lit(1)).as("members"))
+          .filter(col("members") === r)
+          .select((-(lit(r.toLong) * 10000000L + col("grp")) - 1L)
+            .as("doc_id"), col("text"), lit(r).as("r"), col("grp"))
+      }.reduce(_ unionByName _).persist()
+      val planted = groups.map { r =>
+        sampled
+          .withColumn("grp", (col("rn") / r).cast("long"))
+          .select(col("doc_id").as("sid"),
+            (-(lit(r.toLong) * 10000000L + col("grp")) - 1L)
+              .as("parent_id"))
+      }.reduce(_ unionByName _)
+        .join(larges.select(col("doc_id").as("parent_id")), "parent_id")
+        .persist()
+      val corpus = docs.unionByName(larges.select("doc_id", "text"))
+        .persist()
+      val found = graft.dedup.Dedup
+        .containmentPairsLsh(corpus, 0.8)
+        .select(col("doc_a"), col("doc_b")).persist()
+      found.count()
+      // hot-filtered truth + measured size ratio: a planted pair
+      // qualifies iff filtered common / member's PRE-cap n >= 0.8
+      // (the branch contract — the exact branch would drop it
+      // identically otherwise)
+      val post = graft.dedup.Dedup.postings(corpus)
+      val hot = graft.dedup.Dedup.hotShingles(corpus, postingsSet = Some(post))
+      val postF = post.join(hot, Seq("s"), "left_anti")
+      val sizes = post.groupBy("doc_id").agg(first(col("n")).as("n"))
+      val snipPost = postF
+        .join(planted, col("doc_id") === col("sid"))
+        .select(col("sid"), col("parent_id"), col("s"))
+      val parPost = postF.select(col("doc_id").as("pid"), col("s").as("ps"))
+      val common = snipPost
+        .join(parPost,
+          col("parent_id") === col("pid") && col("s") === col("ps"))
+        .groupBy("sid", "parent_id")
+        .agg(count(lit(1)).as("common"))
+      val truth = planted
+        .join(sizes.select(col("doc_id").as("sid"), col("n").as("na")),
+          "sid")
+        .join(sizes.select(col("doc_id").as("parent_id"),
+          col("n").as("nb")), "parent_id")
+        .join(common, Seq("sid", "parent_id"), "left")
+        .filter(coalesce(col("common"), lit(0L)) * lit(1.0) / col("na")
+          >= 0.8)
+        .withColumn("rbucket",
+          when(col("nb") < col("na") * 3, "R1to3")
+            .when(col("nb") < col("na") * 7, "R3to7")
+            .otherwise("R7plus"))
+      val perR = truth
+        .join(found, truth("sid") === found("doc_a") &&
+          truth("parent_id") === found("doc_b"), "left")
+        .groupBy("rbucket")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("doc_a")).as("n_found"))
+        .orderBy("rbucket").collect()
+      val rJson = perR.map { row =>
+        val (rb, nt, nf) =
+          (row.getString(0), row.getLong(1), row.getLong(2))
+        s""""$rb":{"n_true":$nt,"n_found":$nf,""" +
+          s""""recall":${f"${nf.toDouble / math.max(nt, 1)}%.4f"}}"""
+      }.mkString(",")
+      parts += s""""containment_lsh":{$rJson}"""
+      larges.unpersist(); planted.unpersist(); corpus.unpersist()
+      found.unpersist()
     }
 
     if (which == "all" || which == "emb") {

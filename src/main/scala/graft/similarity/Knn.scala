@@ -79,43 +79,52 @@ object Knn {
   private def queriesOf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
 
-  /** D54 core — the budget-dispatched k-NN graph (see the knn_graph
-    * entry scaladoc). Factored out so the decade recall probe
-    * (graft.RecallProbe) can (a) restrict the QUERY side to a sampled
-    * vec_id predicate — the b-bit sub-blocking and the window are
-    * per-query-local, so a filtered a-side computes exactly the full
-    * graph's rows for those queries at a fraction of the cost — and
-    * (b) force b = 0, which IS the exact unsubdivided label-block
-    * semantics, giving the ground-truth twin for recall@k.
+  /** The EXACT within-label top-k graph — one equi-join shuffle on the
+    * label key plus a label-block-bounded window. This is knn_graph's
+    * below-budget plan and the ground-truth twin every recall
+    * measurement compares against; `queryFilter` restricts the QUERY
+    * side (exact, not approximate: a query's rows depend only on its
+    * own label block, so a filtered a-side computes exactly the full
+    * graph's rows for those queries at a fraction of the cost).
     */
-  def graphTopK(e: DataFrame, k: Int, budget: Long = 20000000L,
-      queryFilter: Option[org.apache.spark.sql.Column] = None,
-      forceB: Option[Int] = None): DataFrame = {
-    val b = forceB.getOrElse {
-      val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
-        .head().getLong(0)
-      var bb = 0
-      while (bb < 16 && spent > (budget << bb)) bb += 1
-      bb
-    }
-    val mask = (1L << b) - 1L
-    val sub = HashOps.hyperplaneSig(col("embedding"), 32)
-      .cast("long").bitwiseAND(lit(mask))
-    val aAll = e.select(col("label"), sub.as("subkey"), col("vec_id"),
+  def exactLabelGraph(e: DataFrame, k: Int,
+      queryFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val aAll = e.select(col("label"), col("vec_id"),
       col("embedding").as("a_emb"))
     val a = queryFilter.map(aAll.filter).getOrElse(aAll)
-    val bb = e.select(col("label"), sub.as("subkey"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+    val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    a.join(bb, Seq("label", "subkey"))
+    a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** D54 core — the budget-dispatched k-NN graph. Below the ordered-
+    * pair budget Σ n_l·(n_l−1) ≤ 2e7 the exact within-label graph is
+    * affordable and runs lossless ([[exactLabelGraph]]); above it the
+    * graph is built by NN-descent ([[NnDescent.knnGraph]]), whose
+    * per-vector work is O(iters·kInternal²) — independent of corpus
+    * size — and whose measured recall@3 is 0.91–1.00 across the
+    * proven decades (RECALL_SF10.json), replacing the round-9
+    * hyperplane sub-blocking whose measured decade recall was 0.262
+    * (position-insensitive signature bits cannot preserve cos ≈ 0.45
+    * neighbors on this corpus's isotropic label blocks; a k-means
+    * coarse quantizer measured 0.30–0.50 at the same budget — see the
+    * NnDescent scaladoc).
+    */
+  def graphTopK(e: DataFrame, k: Int, budget: Long = 20000000L,
+      kInternal: Int = 30): DataFrame = {
+    val spent = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("v"))
+      .head().getLong(0)
+    if (spent <= budget) exactLabelGraph(e, k)
+    else NnDescent.knnGraph(e, k, kInternal)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -177,48 +186,73 @@ object Knn {
     // D54 — k-NN GRAPH construction (top-3 neighbors for EVERY vector,
     // not a fixed query set): the neighbor-mining pass behind
     // hard-negative sampling and semantic-dedup clustering. Exact
-    // all-pairs is O(n²) and never runs at corpus scale, so the graph
-    // is blocked: candidates are restricted to the vector's label block
-    // (= the coarse IVF/cluster assignment a real pipeline has already
-    // computed), making the quadratic per-block and the whole pass one
-    // equi-join shuffle on the block key + a block-bounded window.
+    // all-pairs is O(n²) and never runs at corpus scale; below the
+    // ordered-pair budget the graph is the exact within-label join,
+    // above it NN-descent (see graphTopK and the NnDescent scaladoc —
+    // this replaced the round-9 hyperplane sub-blocking whose measured
+    // decade recall was 0.262).
     //
-    // BUDGET-DISPATCHED SUB-BLOCKING (round-8 sf10 finding): the label
-    // count is FIXED, so label blocks grow linearly with the corpus and
-    // the per-block quadratic grows quadratically overall — measured
-    // 4.0 s at sf1 → 1314 s at sf10 (the full-catalog probe's single
-    // dominant entry). The bound: when the ordered-pair mass
-    // Σ n_l·(n_l−1) exceeds an absolute budget, each label block is
-    // subdivided by the low b bits of the bit-exact 32-plane hyperplane
-    // signature (the knn_lsh machinery), with b the SMALLEST integer
-    // such that spent ≤ budget·2^b — so work per sub-block is budget-
-    // bounded and total work stays ~budget regardless of corpus size.
-    // Neighbors are then top-3 within (label, subkey): near vectors
-    // share signature bits with high probability, the LSH recall
-    // argument. b = 0 below budget, where subkey ≡ 0 and the semantics
-    // are EXACTLY the unsubdivided label block — one formula, both
-    // regimes, and the oracle replicates sig, b, and mask bit-exactly.
-    // At the gate: sf0.01/sf0.1 stay b = 0; sf1 selects b = 4;
-    // sf10 selects b = 11 (block ≈ 24 vectors).
+    // Gated like knn_ivf (D7b): NN-descent's converged graph is
+    // deterministic but its iterative merge is not SQL-portable, so
+    // the entry emits a VERIFIED SUMMARY — vertex/edge counts the
+    // oracle derives from the data (every label block holds ≥ 4
+    // vectors at all shipped SFs, so every vector emits exactly 3
+    // edges; a dropped vector or short list breaks the count columns)
+    // plus an IN-PLAN recall measurement against the exact twin on the
+    // deterministic 1-in-100 query sample (vec_id % 100 = 0 — exact
+    // for those queries at 1/100th the exact graph's cost). The oracle
+    // asserts recall_ok = true literally, so recall ≥ 0.9 is
+    // HASH-GATED at every proven SF — strictly stronger than the
+    // round-9 gate, which proved only self-consistency with an oracle
+    // that replicated the (26%-recall) approximation. Triple-level
+    // exactness of the underlying machinery stays hash-gated via
+    // knn_graph_block below; the full-corpus decade recall readout
+    // lives in RECALL_SF10.json (graft.RecallProbe).
+    // Below budget the dispatched graph IS the exact twin and the
+    // recall term is identically 1.
     "knn_graph" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val g = graphTopK(e, 3)
+        val qf = pmod(col("vec_id"), lit(100L)) === 0L
+        val exactSample = exactLabelGraph(e, 3, Some(qf))
+          .select("vec_id", "neighbor_id")
+        val hits = exactSample
+          .join(g.select("vec_id", "neighbor_id"),
+            Seq("vec_id", "neighbor_id"), "left_semi")
+        val stats = g.agg(count_distinct(col("vec_id")).as("n_vertices"),
+          count(lit(1)).as("n_edges"))
+        val rec = exactSample.agg(count(lit(1)).as("n_exact_sample"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact_sample"),
+            (col("n_hit") >= col("n_exact_sample") * lit(0.9))
+              .as("recall_ok"))
+        stats.crossJoin(rec)
+      },
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vertices,
+                3 * (SELECT count(*) FROM embeddings) AS n_edges,
+                3 * (SELECT count(*) FROM embeddings
+                     WHERE vec_id % 100 = 0) AS n_exact_sample,
+                true AS recall_ok"""),
+
+    // D54b — triple-level exactness twin of the graph machinery: the
+    // EXACT within-label top-3 graph on the deterministic 1-in-20
+    // sub-corpus (vec_id % 20 = 0), fully SQL-replicable and
+    // hash-gated row-by-row at EVERY proven SF — the sub-corpus keeps
+    // Σ n_l·(n_l−1) at 1/400th of the full corpus's, affordable even
+    // at the sf10 decade where the full exact graph is the measured
+    // 1314 s quadratic.
+    "knn_graph_block" -> QueryDef(
       (s, d) =>
-        graphTopK(Tables.embeddings(s, d), 3)
+        exactLabelGraph(
+          Tables.embeddings(s, d).filter(col("vec_id") % 20 === 0), 3)
           .orderBy("vec_id", "rank"),
-      s"""WITH ${graft.dedup.Dedup.MurmurSql.embeddingSigsSql},
-          lc AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
-          spent AS (SELECT coalesce(sum(n * (n - 1)), 0) AS v FROM lc),
-          bsel AS (SELECT coalesce(min(b), 16) AS b
-            FROM unnest(range(0, 17)) t(b)
-            WHERE (SELECT v FROM spent) <= 20000000 * (CAST(1 AS BIGINT) << b)),
-          sube AS (SELECT e.vec_id, e.label, e.embedding,
-              sg.sig & ((CAST(1 AS BIGINT) << (SELECT b FROM bsel)) - 1) AS subkey
-            FROM embeddings e JOIN sigs sg USING (vec_id)),
+      s"""WITH sube AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
           scored AS (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ${graft.dedup.Dedup.duckCosine("a.embedding", "b.embedding")} AS cos
             FROM sube a JOIN sube b
-              ON a.label = b.label AND a.subkey = b.subkey
-                 AND a.vec_id <> b.vec_id),
+              ON a.label = b.label AND a.vec_id <> b.vec_id),
           ranked AS (
             SELECT vec_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY vec_id

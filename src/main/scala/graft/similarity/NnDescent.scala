@@ -1,0 +1,179 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** NN-descent (Dong, Moses & Li, WWW'11): k-NN GRAPH construction by
+  * iterative neighborhood refinement — "a neighbor of a neighbor is
+  * likely a neighbor". Each round compares, for every vector, the
+  * members of its current neighborhood (forward + reverse edges)
+  * against each other and keeps the best `kInternal` per vector; the
+  * process converges in a handful of rounds.
+  *
+  * WHY this operator exists (round-9 verdict item 1): the corpus's
+  * within-label embeddings are measured ISOTROPIC (mean pairwise
+  * cosine 0.000, σ ≈ 0.125, true top-1 at cos ≈ 0.42), and on such
+  * geometry NO spatial partitioning can recover the true top-k at a
+  * bounded candidate budget — hyperplane-bit sub-blocking measured
+  * 0.262 recall@3 at sf10 (16× more work bought 0.275), and a k-means
+  * coarse quantizer measured 0.30-0.50 at the same budget in offline
+  * probes (positional blocks can't separate +3.3σ neighbors from the
+  * bulk when the blocks are 10³× smaller than the label). NN-descent
+  * sidesteps partitioning entirely: its per-vector work is
+  * O(iters · kInternal²) cosines — INDEPENDENT of the corpus size —
+  * and it measured 0.91-0.99 recall@3 on the same blocks (n = 2 180:
+  * 0.995 at kInternal = 30; n = 21 800: 0.914). Work per round is
+  * n · (2·kInternal)² candidate pairs, ~linear in n: the 100 TB
+  * asymptote the blocked quadratic never had.
+  *
+  * Spark shape: the graph is a DataFrame of directed edges
+  * (src, dst, cos, fresh); each round is (a) reverse-edge adjacency,
+  * degree-capped at kInternal by a deterministic hash order (the
+  * paper's ρ-sampling — bounds hub-pivot fan-out), (b) one equi-join
+  * of the FRESH adjacency against the full adjacency on the shared
+  * pivot (the incremental optimization: only pairs with ≥ 1
+  * newly-discovered endpoint are generated, so late rounds cost a
+  * fraction of round 0), (c) cosine scoring through the codegen'd
+  * [[VectorOps.cosine]], (d) a per-src top-kInternal window merge.
+  * Rounds run until no fresh edge survives the merge (or maxIters).
+  * Everything is deterministic: ring init ordered by xxhash64, ties
+  * broken by id everywhere, no RNG state — two runs on one corpus
+  * produce the identical graph.
+  *
+  * Init: per label, vectors are ranked by (xxhash64(vec_id), vec_id)
+  * and each connects to its next `kInternal` successors on the ring —
+  * the standard random-ring init, chosen over random-block inits
+  * because it GUARANTEES min(kInternal, n_label−1) initial neighbors
+  * per vector (no singleton blocks), which in turn guarantees every
+  * vector emits min(k, n_label−1) rows in the final graph.
+  *
+  * Label blocks are respected end-to-end (init rings are per-label and
+  * candidate generation only ever meets vectors through a shared
+  * pivot), matching the exact twin's within-label semantics.
+  */
+object NnDescent {
+
+  /** Top-`k` cosine neighbors per vector within its label block.
+    * Output: (vec_id, rank, neighbor_id, cosine(4dp)), rank 1..k by
+    * (cosine desc, neighbor_id). Extraction reads the forward lists
+    * only — augmenting with reverse edges was measured and bought
+    * nothing (0.8190 → 0.8195 at n = 21 800, K = 20: by convergence a
+    * true neighbor that lists you is almost always already in your
+    * list, because the pair was compared when either end discovered
+    * it).
+    */
+  def knnGraph(e: DataFrame, k: Int, kInternal: Int = 30,
+      maxIters: Int = 18): DataFrame = {
+    require(kInternal >= k, s"kInternal=$kInternal must be >= k=$k")
+    val emb = e.select(col("vec_id"), col("label"), col("embedding"))
+
+    val embSrc = emb.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val embDst = emb.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(embSrc, "src").join(embDst, "dst")
+        .select(col("src"), col("dst"),
+          VectorOps.cosine(col("ea"), col("eb")).as("cos"))
+
+    // deterministic ring init: rank within label by hashed id, connect
+    // each vector to its kInternal ring successors (pmod wraps), score
+    val wRank = Window.partitionBy("label")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val nl = emb.groupBy("label").agg(count(lit(1)).as("nl"))
+    val ranked = emb.join(broadcast(nl), "label")
+      .select(col("label"), col("vec_id"), col("nl"),
+        (row_number().over(wRank).cast("long") - 1L).as("rn"))
+    val offsets = array((1 to kInternal).map(j => lit(j.toLong)): _*)
+    val probes = ranked
+      .select(col("label"), col("vec_id").as("src"), col("rn"), col("nl"),
+        explode(offsets).as("off"))
+      .select(col("label"), col("src"),
+        pmod(col("rn") + col("off"), col("nl")).as("pos"))
+      // offsets wrap onto duplicate positions when n_label <= kInternal
+      .distinct()
+    val targets = ranked.select(col("label"), col("rn").as("pos"),
+      col("vec_id").as("dst"))
+    val initPairs = probes.join(targets, Seq("label", "pos"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+
+    // localCheckpoint — NOT persist — between rounds: persist leaves
+    // the logical plan intact, and each round's plan embeds ~5 copies
+    // of the previous round's (fwd, rev, adjF, adjA, merge), so
+    // analysis cost grows exponentially with the round count (the
+    // Clusters CC lesson, re-learned here at sf1: rounds 1-3 ran in
+    // 90 s, round 4 never finished). localCheckpoint is eager and
+    // truncates lineage to the materialized blocks.
+    var edges = score(initPairs).withColumn("fresh", lit(true))
+      .localCheckpoint()
+
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst"))
+    var it = 0
+    var freshCount = edges.count() // init is all fresh
+    while (it < maxIters && freshCount > 0L) {
+      val fwd = edges
+        .select(col("src").as("pivot"), col("dst").as("nb"), col("fresh"))
+      // reverse adjacency degree-capped at kInternal in deterministic
+      // hash order (the paper's ρ-sampling): a hub listed by 10⁴
+      // vectors would otherwise contribute a 10⁸-pair pivot. The cap
+      // is per (pivot, fresh) — the paper samples its NEW and OLD
+      // pools independently — because a single hash-ordered cap
+      // drops the fresh reverse edges themselves at high-reverse-
+      // degree pivots, stalling propagation exactly through the
+      // best-connected nodes (measured: a shared cap left sf10 at
+      // 1.3M fresh edges and recall 0.81 after 12 rounds)
+      val wRev = Window.partitionBy("pivot", "fresh")
+        .orderBy(xxhash64(col("nb")), col("nb"))
+      val rev = edges
+        .select(col("dst").as("pivot"), col("src").as("nb"), col("fresh"))
+        .withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= kInternal).drop("rr")
+      val adj = fwd.union(rev)
+      val adjF = adj.filter(col("fresh")).select("pivot", "nb")
+      val adjA = adj.select(col("pivot"), col("nb").as("nb2"))
+      // all (nb, nb2) meeting at a pivot with nb on a FRESH edge; the
+      // least/greatest normalization dedups the two directions before
+      // the (expensive) cosine, distinct dedups multi-pivot discovery
+      val cand = adjF.join(adjA, Seq("pivot"))
+        .filter(col("nb") =!= col("nb2"))
+        .select(least(col("nb"), col("nb2")).as("src"),
+          greatest(col("nb"), col("nb2")).as("dst"))
+        .distinct()
+      val scored = score(cand)
+      val newDirected = scored
+        .union(scored.select(col("dst"), col("src"), col("cos")))
+        .withColumn("fresh", lit(true))
+      // merge: a pair present in BOTH old and new is a re-discovery,
+      // not fresh (min over the fresh flags); cos values are identical
+      // for identical pairs so max() is just the dedup aggregate
+      val merged = edges.withColumn("fresh", lit(false)).union(newDirected)
+        .groupBy("src", "dst")
+        .agg(max(col("cos")).as("cos"),
+          (min(when(col("fresh"), 1).otherwise(0)) === 1).as("fresh"))
+      val next = merged
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= kInternal).drop("rn")
+        .localCheckpoint()
+      freshCount = next.filter(col("fresh")).count()
+      edges.unpersist(blocking = false)
+      edges = next
+      it += 1
+      System.err.println(s"[graft] nn-descent round $it: " +
+        s"$freshCount fresh edges")
+    }
+
+    // final extraction from the forward lists, then detach the result
+    // from the persisted loop state (localCheckpoint is eager) so the
+    // intermediate blocks don't outlive this call
+    val out = edges
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("rank"),
+        col("dst").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .localCheckpoint()
+    edges.unpersist(blocking = false)
+    out
+  }
+}

@@ -46,7 +46,11 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("knn graph never pairs vectors across label blocks") {
-    val g = SparkEntry.queries("knn_graph")(spark, sf)
+    // the catalog entry now emits the gated summary row; the label
+    // invariant is a property of the underlying triple graph, so test
+    // the dispatched graph API directly
+    val g = graft.similarity.Knn.graphTopK(
+      Tables.embeddings(spark, sf), 3)
     val labels = Tables.embeddings(spark, sf).select(
       col("vec_id").as("id"), col("label"))
     val crossBlock = g
