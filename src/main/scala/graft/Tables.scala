@@ -51,6 +51,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Exact money-cents projection, shared by every money consumer: the
+    * 2-dp money columns become integer cents so sums are exact and
+    * order-independent (the round-9 sf10 finding — double-sum tails
+    * differ between engines). Half-up is computed as `+0.5 →
+    * truncating long cast`, valid because the tables' money columns
+    * are non-negative and < 2⁵⁰ cents: Spark's `round()` on DoubleType
+    * allocates a BigDecimal PER VALUE, which is what doubled q1_agg's
+    * bench line in round 9 (0.245 → 0.512 s; verdict item 6). The
+    * arithmetic form is bit-identical to the oracle's
+    * `CAST(round(x*100, 0) AS BIGINT)` on these inputs: x is the
+    * nearest double to k/100, so x·100 lands within ~10⁻¹¹ of the
+    * integer k and the +0.5 truncation can never cross it.
+    */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * org.apache.spark.sql.functions.lit(100.0) +
+      org.apache.spark.sql.functions.lit(0.5)).cast("long")
+
   /** Process-scoped scratch directory for queries that must round-trip
     * through a sink. Keyed by (tag, sfDir) so repeated invocations in
     * ONE session overwrite the same path instead of leaking a copy per

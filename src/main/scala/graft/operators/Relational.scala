@@ -28,8 +28,8 @@ object Relational {
     // averages keep the double path (their 4 dp rounding absorbs tails).
     "q1_agg" -> QueryDef(
       (s, d) => {
-        val cp = round(col("l_extendedprice") * 100, 0).cast("long")
-        val cd = round(col("l_discount") * 100, 0).cast("long")
+        val cp = Tables.cents(col("l_extendedprice"))
+        val cd = Tables.cents(col("l_discount"))
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy("l_returnflag", "l_linestatus")
@@ -68,8 +68,8 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01") &&
             col("l_discount").between(0.03, 0.07) &&
             col("l_quantity") < 24)
-          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
-              * round(col("l_discount") * 100, 0).cast("long"))
+          .agg((sum(Tables.cents(col("l_extendedprice"))
+              * Tables.cents(col("l_discount")))
             .cast("double") / 10000.0).as("revenue")),
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                           * CAST(round(l_discount * 100, 0) AS BIGINT))
@@ -172,7 +172,7 @@ object Relational {
         Tables.orders(s, d)
           .rollup("o_orderstatus", "o_orderpriority")
           // exact long-cents money sum (q1_agg discipline)
-          .agg((sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .agg((sum(Tables.cents(col("o_totalprice")))
             .cast("double") / 100.0).as("total"),
             count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus").asc_nulls_first,

@@ -262,8 +262,8 @@ object Relational2 {
           .groupBy(col("n_name").as("nation"))
           // exact long-cents money sum (q1_agg discipline — the double
           // sum diverged between engines in its last bits at sf10)
-          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
-              * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .agg((sum(Tables.cents(col("l_extendedprice"))
+              * (lit(100L) - Tables.cents(col("l_discount"))))
             .cast("double") / 10000.0).as("revenue"))
           .orderBy(col("revenue").desc, col("nation")),
       """SELECT n_name AS nation,

@@ -148,7 +148,7 @@ object Relational4 {
             grouping(col("o_orderpriority")).cast("int").as("g_priority"),
             count(lit(1)).as("n"),
             // exact long-cents money sum (q1_agg discipline)
-            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            (sum(Tables.cents(col("o_totalprice")))
               .cast("double") / 100.0).as("total"))
           .orderBy("o_orderstatus", "o_orderpriority"),
       """SELECT o_orderstatus, o_orderpriority,
@@ -193,7 +193,7 @@ object Relational4 {
             .as("bucket"))
           .agg(count(lit(1)).as("n"),
             // exact long-cents money sum (q1_agg discipline)
-            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            (sum(Tables.cents(col("o_totalprice")))
               .cast("double") / 100.0).as("total"))
           .orderBy("bucket"),
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,

@@ -61,7 +61,7 @@ object Skew {
           .groupBy("c_mktsegment")
           // exact long-cents money sum (q1_agg discipline)
           .agg(count(lit(1)).as("n_orders"),
-            (sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            (sum(Tables.cents(col("o_totalprice")))
               .cast("double") / 100.0).as("revenue"))
           .orderBy("c_mktsegment"),
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -74,8 +74,8 @@ object TpchMore {
               (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
                 col("l_quantity").between(10, 30)))
           // exact long-cents money sum (q1_agg discipline)
-          .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long")
-              * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .agg((sum(Tables.cents(col("l_extendedprice"))
+              * (lit(100L) - Tables.cents(col("l_discount"))))
             .cast("double") / 10000.0).as("revenue"),
             count(lit(1)).as("n_lines")),
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
