@@ -449,7 +449,8 @@ object Dedup {
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
       bandCap: Long = 256L,
-      filteredPostings: Option[DataFrame] = None): DataFrame = {
+      filteredPostings: Option[DataFrame] = None,
+      windowTokens: Int = 32, windowStride: Int = 16): DataFrame = {
     val rows = numHashes / bands
     // Verification reads HOT-FILTERED shingle sets so both branches
     // agree on what "common" counts (round-8 advice item): the exact
@@ -492,7 +493,59 @@ object Dedup {
     // sf1's max bucket is 105, so every committed proof is unchanged.
     // Same one-shuffle per-bucket expansion as minhashPairs (see the
     // memory note there — the count+join-back formulation OOM'd at sf10).
-    val cand = bandedCappedPairs(banded, bandCap)
+    val candDoc = bandedCappedPairs(banded, bandCap)
+    // WINDOW-GRID deep-asymmetry candidates (round-10; RECALL_SF10
+    // measured the doc-level signatures at 0.38 recall for size ratio
+    // R ≥ 7 — minhash over the LARGE side's full set is dominated by
+    // its non-shared content, exactly the J ≥ t/(R+1−t) decay the
+    // scaladoc predicted). Every doc's token stream is cut into
+    // 32-token windows at stride 16 and the windows are banded with
+    // the SAME 64×2 wrap32 scheme: a contained snippet's tokens line
+    // up with some window of the container at worst-case alignment
+    // J ≈ 0.33 (per-window detection ≥ 0.999 at 64 2-row bands), so
+    // deep CONTIGUOUS containment — the quote/boilerplate-inclusion
+    // case the operator exists for — is caught at ANY size ratio.
+    // Measured (RecallProbe cont, planted concatenation parents):
+    // R ≥ 7 recall 0.38 → 1.0. Scattered deep containment (shingles
+    // strewn non-contiguously through a 10× larger doc) remains the
+    // documented residual; the sub-budget exact path is lossless for
+    // it. Cost is a second signature pass over ~2× the shingle volume
+    // (windows overlap by half), linear like the first. Candidates
+    // from both schemes are unioned before the one exact verify;
+    // bucket membership is per DISTINCT doc (several windows of one
+    // doc in a bucket count once, and intra-doc collisions can't
+    // produce a pair). windowTokens ≤ 0 disables the pass; the DuckDB
+    // oracle replicates the default geometry (32/16) exactly.
+    val candWin: DataFrame =
+      if (windowTokens <= 0) candDoc.limit(0)
+      else {
+        val tok = docs
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= 3)
+        val nWinTop = (greatest(size(col("t")) - lit(windowTokens), lit(0))
+          / lit(windowStride)).cast("int")
+        val wins = tok.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nWinTop), i =>
+              concat_ws(" ",
+                slice(col("t"), i * lit(windowStride) + 1,
+                  lit(windowTokens))))))
+          .select(col("doc_id"), col("col").as("wtext"))
+        val wsh = withShingles(wins.withColumnRenamed("wtext", "text"))
+          .filter(size(col("shingles")) > 0)
+          .select(col("doc_id"), col("shingles"))
+        val wsig = wsh.select(col("doc_id"),
+          HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
+        val wbanded = wsig.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+              packedKey(element_at(col("sig"), b * lit(rows) + 1),
+                element_at(col("sig"), b * lit(rows) + 2)))))
+          .withColumnRenamed("pos", "band")
+          .select(col("doc_id"), col("band"), col("col").as("k1"),
+            lit(0L).as("k2"))
+          .distinct()
+        bandedCappedPairs(wbanded, bandCap)
+      }
+    val cand = candDoc.union(candWin).distinct()
       .select(col("doc_a").as("x"), col("doc_b").as("y"))
     val dir = cand.select(col("x").as("doc_a"), col("y").as("doc_b"))
       .union(cand.select(col("y").as("doc_a"), col("x").as("doc_b")))
@@ -1014,12 +1067,13 @@ object Dedup {
       * corpus selects — the guarded-UNION pattern containment_pairs
       * proved at round 8, promoted to the shared asset.
       *
-      * Cost discipline: the LSH branch's guard sits at the SOURCE of
-      * its murmur chain (`plsrc`), not at the end — under budget the
-      * 128-hash signature chain runs over an EMPTY relation, so the
-      * ~16 oracles that embed this fragment pay only the (cheap)
-      * df-spectrum scalar at the gate SFs where the exact branch is
-      * selected. CTE names are p-prefixed to never collide with the
+      * Cost discipline: BOTH branches guard at their SOURCE relation,
+      * not at their output — the LSH branch at `plsrc` (under budget
+      * the 128-hash signature chain runs over an EMPTY relation), and
+      * since round 10 the exact branch at `pexf` (above budget the
+      * inverted-index self-join runs over an EMPTY relation — a guard
+      * only on pecand's WHERE left DuckDB evaluating the 10⁹-row join
+      * before filtering it, measured >20 min on the 250k-doc slice). CTE names are p-prefixed to never collide with the
       * splicing statements' own CTEs.
       */
     val pairGraphChainSql: String = pairGraphChain(forceExact = false)
@@ -1051,16 +1105,16 @@ object Dedup {
           pdfs AS MATERIALIZED (SELECT s, count(*) AS df FROM pex GROUP BY s),
           phot AS MATERIALIZED (SELECT s FROM pdfs WHERE df > greatest(1000,
             (SELECT count(*) FROM documents) // 1000)),
-          pexf AS MATERIALIZED (
-            SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)),
           pspent AS MATERIALIZED (
             SELECT coalesce(sum(df * (df - 1)), 0) AS v FROM pdfs
             WHERE s NOT IN (SELECT s FROM phot)),
+          pexf AS MATERIALIZED (
+            SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)
+              AND $exactGuard),
           pecand AS MATERIALIZED (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
                    any_value(a.n) AS na, any_value(b.n) AS nb
             FROM pexf a JOIN pexf b ON a.s = b.s AND a.doc_id < b.doc_id
-            WHERE $exactGuard
             GROUP BY 1, 2),
           pepairs AS (
             SELECT doc_a, doc_b,
@@ -1130,7 +1184,13 @@ object Dedup {
       * chain, 32-bit-wrapped signatures per MinHashSignature's wrap32,
       * re-banded to r=2) `WHERE cspent > budget` — exactly the
       * engine's decision, so the entry stays hash-provable at every
-      * scale factor on whichever path the corpus selects.
+      * scale factor on whichever path the corpus selects. The
+      * round-10 WINDOW-GRID candidates (32-token/stride-16 windows,
+      * same banding, per-DISTINCT-doc buckets — see the
+      * containmentPairsLsh scaladoc) are replicated in the `cw*`
+      * chain and unioned into the candidate set before the one exact
+      * verify; the window source is guarded at `cspent > budget` like
+      * the signature chain, so sub-budget gates pay nothing for it.
       */
     val containmentPairsSql: String =
       s"""$minhashSigBandsSql,
@@ -1169,8 +1229,39 @@ object Dedup {
             FROM bands2k a JOIN bands2k b
               ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.doc_id < b.doc_id
             WHERE (SELECT v FROM cspent) > 20000000),
-          ldir AS (SELECT x AS doc_a, y AS doc_b FROM lcand
-                   UNION ALL SELECT y AS doc_a, x AS doc_b FROM lcand),
+          cwin AS (SELECT doc_id, i AS w,
+              t[i*16+1 : i*16+32] AS wt
+            FROM toks, unnest(range(0, greatest((len(t)-32)//16, 0) + 1)) u(i)
+            WHERE len(t) >= 3 AND (SELECT v FROM cspent) > 20000000),
+          cwsh AS (SELECT doc_id, w,
+              list_distinct([array_to_string(wt[j:j+2], ' ')
+                             for j in range(1, len(wt) - 1)]) AS shingles
+            FROM cwin WHERE len(wt) >= 3),
+          cwex AS (SELECT doc_id, w, unnest(shingles) AS tok FROM cwsh),
+          ${tokPrepP("cw", "cwex", "w,")},
+          ${fmixStagesP("cw", "w,")},
+          cwuls AS (SELECT doc_id, w, list([ua, ub | 1]) AS ul FROM cwhh
+                    GROUP BY doc_id, w),
+          cwsig AS (SELECT doc_id, w,
+            list_transform(range(0, 128), i ->
+              list_min(list_transform(ul, p -> (p[1] + i*p[2]) % 4294967296)))
+              AS s
+            FROM cwuls),
+          cwbd AS (SELECT DISTINCT doc_id, bnd,
+              (s[2*bnd+1] % 4294967296 - 2147483648) * 4294967296
+                + s[2*bnd+2] % 4294967296 AS k1
+            FROM cwsig, unnest(range(0, 64)) AS u(bnd)),
+          cwcap AS (SELECT bnd, k1 FROM cwbd
+                    GROUP BY bnd, k1 HAVING count(*) <= 256),
+          cwk AS (SELECT b.doc_id, b.bnd, b.k1
+                  FROM cwbd b JOIN cwcap USING (bnd, k1)),
+          wcand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+            FROM cwk a JOIN cwk b
+              ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.doc_id < b.doc_id),
+          allcand AS (SELECT DISTINCT x, y FROM
+            (SELECT * FROM lcand UNION ALL SELECT * FROM wcand)),
+          ldir AS (SELECT x AS doc_a, y AS doc_b FROM allcand
+                   UNION ALL SELECT y AS doc_a, x AS doc_b FROM allcand),
           cshf AS (SELECT doc_id, list(s) AS shf, any_value(n) AS n
                    FROM cexf GROUP BY doc_id),
           lver AS (SELECT doc_a, doc_b,
