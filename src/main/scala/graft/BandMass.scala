@@ -38,11 +38,16 @@ object BandMass {
     spark.sparkContext.setLogLevel("WARN")
 
     val caps = Seq(32L, 64L, 128L, 256L, 512L, Long.MaxValue)
-    for (d <- args) {
+    // `--windows` profiles the containment WINDOW-GRID banding
+    // (windowBandBucketSizeHist) instead of the document banding
+    val windows = args.contains("--windows")
+    for (d <- args.filterNot(_ == "--windows")) {
       val docs = Tables.documents(spark, d)
       val nDocs = docs.count()
       // (sz, n_buckets) — a few thousand distinct sizes at most
-      val hist = graft.dedup.Dedup.bandBucketSizeHist(docs)
+      val hist = (if (windows)
+          graft.dedup.Dedup.windowBandBucketSizeHist(docs)
+        else graft.dedup.Dedup.bandBucketSizeHist(docs))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val capsJson = caps.map { cap =>
         val (surv, dropped) = hist.partition(_._1 <= cap)

@@ -48,6 +48,15 @@ object Bench {
         val dir = graft.ingest.SyntheticOrders.dlqWireDir(s, d)
         s.read.parquet(dir).limit(1)
       }),
+      // the CLEAN wire landing (stream_fanout_products' source) — the
+      // same producer-vs-consumer split as dlq_wire_build: without
+      // this line the fanout entry was the only wireDir consumer and
+      // paid the corpus-sized parquet landing inside its timed first
+      // run (round-10 floor attribution)
+      "wire_land_build" -> ((s, d) => {
+        val dir = graft.ingest.SyntheticOrders.wireDir(s, d)
+        s.read.parquet(dir).limit(1)
+      }),
       "shared_postings_build" -> ((s, d) =>
         graft.dedup.Dedup.sharedPostings(s, d)),
       "shared_pairs_build" -> ((s, d) => graft.dedup.Dedup.sharedPairs(s, d)),

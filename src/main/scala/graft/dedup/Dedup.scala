@@ -450,7 +450,8 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 64,
       bandCap: Long = 256L,
       filteredPostings: Option[DataFrame] = None,
-      windowTokens: Int = 32, windowStride: Int = 16): DataFrame = {
+      windowTokens: Int = 32, windowStride: Int = 16,
+      windowBandCap: Long = 64L): DataFrame = {
     val rows = numHashes / bands
     // Verification reads HOT-FILTERED shingle sets so both branches
     // agree on what "common" counts (round-8 advice item): the exact
@@ -516,34 +517,28 @@ object Dedup {
     // doc in a bucket count once, and intra-doc collisions can't
     // produce a pair). windowTokens ≤ 0 disables the pass; the DuckDB
     // oracle replicates the default geometry (32/16) exactly.
+    // Window buckets cap at 64 (not the doc-level 256) and window
+    // candidates keep only SIZE-SKEWED pairs (max(n) >= 2*min(n)):
+    // same-scale window collisions are boilerplate noise the doc-level
+    // banding already covers at measured ~1.0 recall for R < 2, and
+    // without the two trims the tripled verify volume spilled the sf10
+    // probe past 55 GB of disk. Both trims are replicated exactly in
+    // the oracle (cwcap HAVING <= 64; the cshf size filter on wcand).
     val candWin: DataFrame =
       if (windowTokens <= 0) candDoc.limit(0)
       else {
-        val tok = docs
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-          .filter(size(col("t")) >= 3)
-        val nWinTop = (greatest(size(col("t")) - lit(windowTokens), lit(0))
-          / lit(windowStride)).cast("int")
-        val wins = tok.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nWinTop), i =>
-              concat_ws(" ",
-                slice(col("t"), i * lit(windowStride) + 1,
-                  lit(windowTokens))))))
-          .select(col("doc_id"), col("col").as("wtext"))
-        val wsh = withShingles(wins.withColumnRenamed("wtext", "text"))
-          .filter(size(col("shingles")) > 0)
-          .select(col("doc_id"), col("shingles"))
-        val wsig = wsh.select(col("doc_id"),
-          HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
-        val wbanded = wsig.select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-              packedKey(element_at(col("sig"), b * lit(rows) + 1),
-                element_at(col("sig"), b * lit(rows) + 2)))))
-          .withColumnRenamed("pos", "band")
-          .select(col("doc_id"), col("band"), col("col").as("k1"),
-            lit(0L).as("k2"))
-          .distinct()
-        bandedCappedPairs(wbanded, bandCap)
+        val raw = bandedCappedPairs(
+          windowBanded(docs, numHashes, bands, windowTokens, windowStride),
+          windowBandCap)
+        val sz = shf.select(col("doc_id"), col("n"))
+        raw
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("wna")),
+            "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("wnb")),
+            "doc_b")
+          .filter(greatest(col("wna"), col("wnb"))
+            >= least(col("wna"), col("wnb")) * lit(2))
+          .select("doc_a", "doc_b")
       }
     val cand = candDoc.union(candWin).distinct()
       .select(col("doc_a").as("x"), col("doc_b").as("y"))
@@ -709,6 +704,53 @@ object Dedup {
     banded.groupBy("band", "k1", "k2").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
   }
+
+  /** The WINDOW-GRID banded table behind containmentPairsLsh's
+    * deep-asymmetry candidates: every doc's token stream cut into
+    * `windowTokens`-token windows at `windowStride`, each window
+    * shingled and minhashed (wrap32) like a document, banded 2-row,
+    * and reduced to DISTINCT (doc, band, key) rows — several windows
+    * of one doc in a bucket count once. Factored out so the band-mass
+    * measurement tool profiles EXACTLY the table the candidate join
+    * groups on.
+    */
+  private[graft] def windowBanded(docs: DataFrame, numHashes: Int,
+      bands: Int, windowTokens: Int, windowStride: Int): DataFrame = {
+    val rows = numHashes / bands
+    val tok = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+    val nWinTop = (greatest(size(col("t")) - lit(windowTokens), lit(0))
+      / lit(windowStride)).cast("int")
+    val wins = tok.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nWinTop), i =>
+          concat_ws(" ",
+            slice(col("t"), i * lit(windowStride) + 1,
+              lit(windowTokens))))))
+      .select(col("doc_id"), col("col").as("wtext"))
+    val wsh = withShingles(wins.withColumnRenamed("wtext", "text"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val wsig = wsh.select(col("doc_id"),
+      HashOps.minhashW32(col("shingles"), numHashes).as("sig"))
+    wsig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          packedKey(element_at(col("sig"), b * lit(rows) + 1),
+            element_at(col("sig"), b * lit(rows) + 2)))))
+      .withColumnRenamed("pos", "band")
+      .select(col("doc_id"), col("band"), col("col").as("k1"),
+        lit(0L).as("k2"))
+      .distinct()
+  }
+
+  /** Bucket-size histogram of [[windowBanded]] (containment window
+    * geometry, 64 bands x 2 rows) — the BandMass input for the window
+    * candidate mass.
+    */
+  def windowBandBucketSizeHist(docs: DataFrame): DataFrame =
+    windowBanded(docs, 128, 64, 32, 16)
+      .groupBy("band", "k1", "k2").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
 
   /** D4 — SimHash near-dup: 64-bit signature, 4 bands of 16 bits for
     * candidate generation (any pair within hamming distance 3 shares at
@@ -1252,12 +1294,18 @@ object Dedup {
                 + s[2*bnd+2] % 4294967296 AS k1
             FROM cwsig, unnest(range(0, 64)) AS u(bnd)),
           cwcap AS (SELECT bnd, k1 FROM cwbd
-                    GROUP BY bnd, k1 HAVING count(*) <= 256),
+                    GROUP BY bnd, k1 HAVING count(*) <= 64),
           cwk AS (SELECT b.doc_id, b.bnd, b.k1
                   FROM cwbd b JOIN cwcap USING (bnd, k1)),
-          wcand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+          wcand0 AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
             FROM cwk a JOIN cwk b
               ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.doc_id < b.doc_id),
+          csz AS (SELECT doc_id, any_value(n) AS n FROM cexf
+                  GROUP BY doc_id),
+          wcand AS (SELECT x, y FROM wcand0
+            JOIN csz fa ON fa.doc_id = x
+            JOIN csz fb ON fb.doc_id = y
+            WHERE greatest(fa.n, fb.n) >= 2 * least(fa.n, fb.n)),
           allcand AS (SELECT DISTINCT x, y FROM
             (SELECT * FROM lcand UNION ALL SELECT * FROM wcand)),
           ldir AS (SELECT x AS doc_a, y AS doc_b FROM allcand

@@ -187,7 +187,12 @@ object SyntheticOrders {
         // after decode, but a stream must be wide AT THE SOURCE. A
         // round-robin repartition here is producer-side work, paid
         // once per (session, sfDir), outside any timed query.
-        wire(s, d).repartition(s.sparkContext.defaultParallelism)
+        // SPARK_GRAFT_WIRE_SPLITS widens the landing beyond one file
+        // per core (the round-10 floor experiments measure the
+        // decode+sink stage's skew absorption against it).
+        val splits = sys.env.get("SPARK_GRAFT_WIRE_SPLITS").map(_.toInt)
+          .getOrElse(s.sparkContext.defaultParallelism)
+        wire(s, d).repartition(splits)
           .write.mode("overwrite").parquet(dir)
         wireDirMemo.put((s, d), dir)
         dir
