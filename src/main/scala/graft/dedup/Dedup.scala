@@ -451,7 +451,7 @@ object Dedup {
       bandCap: Long = 256L,
       filteredPostings: Option[DataFrame] = None,
       windowTokens: Int = 32, windowStride: Int = 16,
-      windowBandCap: Long = 64L): DataFrame = {
+      windowBandCap: Long = 64L, windowBands: Int = 32): DataFrame = {
     val rows = numHashes / bands
     // Verification reads HOT-FILTERED shingle sets so both branches
     // agree on what "common" counts (round-8 advice item): the exact
@@ -527,8 +527,15 @@ object Dedup {
     val candWin: DataFrame =
       if (windowTokens <= 0) candDoc.limit(0)
       else {
+        // 32 window bands, not the doc-level 64: per-window detection
+        // at the worst-case alignment J ~ 0.33 is still 0.975
+        // (1-(1-J^2)^32) and most snippets span >= 2 windows, while
+        // the banded-table volume halves - long sparse docs (zipf10:
+        // ~14 windows/doc x 510k docs) spilled the 64-band table past
+        // the sandbox disk in the bench
         val raw = bandedCappedPairs(
-          windowBanded(docs, numHashes, bands, windowTokens, windowStride),
+          windowBanded(docs, numHashes, windowBands, windowTokens,
+            windowStride),
           windowBandCap)
         val sz = shf.select(col("doc_id"), col("n"))
         raw
@@ -748,7 +755,7 @@ object Dedup {
     * candidate mass.
     */
   def windowBandBucketSizeHist(docs: DataFrame): DataFrame =
-    windowBanded(docs, 128, 64, 32, 16)
+    windowBanded(docs, 128, 32, 32, 16)
       .groupBy("band", "k1", "k2").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
 
@@ -1290,9 +1297,9 @@ object Dedup {
               AS s
             FROM cwuls),
           cwbd AS (SELECT DISTINCT doc_id, bnd,
-              (s[2*bnd+1] % 4294967296 - 2147483648) * 4294967296
-                + s[2*bnd+2] % 4294967296 AS k1
-            FROM cwsig, unnest(range(0, 64)) AS u(bnd)),
+              (s[4*bnd+1] % 4294967296 - 2147483648) * 4294967296
+                + s[4*bnd+2] % 4294967296 AS k1
+            FROM cwsig, unnest(range(0, 32)) AS u(bnd)),
           cwcap AS (SELECT bnd, k1 FROM cwbd
                     GROUP BY bnd, k1 HAVING count(*) <= 64),
           cwk AS (SELECT b.doc_id, b.bnd, b.k1
