@@ -86,6 +86,20 @@ object Tables {
     dir
   }
 
+  /** A UNIQUE temp directory registered for recursive delete at JVM
+    * exit — for sinks that must be fresh per invocation (a streaming
+    * checkpoint dir reused across invocations would resume instead of
+    * re-run, making a second bench rep a no-op) but must not leak one
+    * copy per run the way a bare createTempDirectory does (measured:
+    * 1.1 GB per stream_fanout_products invocation before round 10).
+    */
+  def freshScratchDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_" + tag)
+      .toString
+    if (scratchRegistry.add(dir)) scratchHookInstalled
+    dir
+  }
+
   private val scratchRegistry =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

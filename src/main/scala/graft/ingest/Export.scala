@@ -25,8 +25,7 @@ object Export {
   val defs: Map[String, QueryDef] = Map(
     "export_jsonl" -> QueryDef(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_jsonl").toString + "/docs"
+        val tmp = graft.Tables.freshScratchDir("jsonl") + "/docs"
         Tables.documents(s, d)
           .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
             col("n_chars"), col("text"))).as("value"))

@@ -157,8 +157,7 @@ object IngestQueries {
     // duplicated row during the rewrite breaks the hash.
     "compact_roundtrip" -> QueryDef(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_compact").toString
+        val tmp = graft.Tables.freshScratchDir("compact")
         val frag = tmp + "/frag"
         val out = tmp + "/compacted"
         Tables.events(s, d).repartition(32)

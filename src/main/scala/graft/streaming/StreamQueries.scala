@@ -206,8 +206,7 @@ object StreamQueries {
     "stream_kv_snapshot" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val snap = java.nio.file.Files
-          .createTempDirectory("graft_kv_snap").toString + "/state"
+        val snap = graft.Tables.freshScratchDir("kv_snap") + "/state"
         val kv = eventsStream(s, d)
           .selectExpr("CAST(user_id AS STRING) AS key",
             "event_id AS seq", "event_type AS value")
@@ -395,8 +394,7 @@ object StreamQueries {
           .parquet(wireDir)
         val products =
           graft.ingest.Fanout.productDetails(graft.ingest.EventCodec.decode(raw))
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_fanout_sink").toString
+        val out = graft.Tables.freshScratchDir("fanout_sink")
         withStreamShuffle(s) {
           val q = products.writeStream
             .format("parquet")
