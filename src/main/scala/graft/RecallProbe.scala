@@ -55,8 +55,9 @@ object RecallProbe {
       val e = Tables.embeddings(spark, sfDir)
       val qf = pmod(col("vec_id"), lit(97L)) === 0L
       // optional third arg: override NN-descent's internal list width
-      // (the recall-vs-cost dial; omitted = the production default)
-      val kInt = if (args.length > 2) args(2).toInt else 30
+      // (the K-sweep dial; omitted/0 = the production auto-scaled
+      // width, Knn.autoKInternal)
+      val kInt = if (args.length > 2) args(2).toInt else 0
       val approx = graft.similarity.Knn
         .graphTopK(e, 3, kInternal = kInt)
         .filter(qf)

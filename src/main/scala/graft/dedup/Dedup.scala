@@ -500,10 +500,13 @@ object Dedup {
     // R ≥ 7 — minhash over the LARGE side's full set is dominated by
     // its non-shared content, exactly the J ≥ t/(R+1−t) decay the
     // scaladoc predicted). Every doc's token stream is cut into
-    // 32-token windows at stride 16 and the windows are banded with
-    // the SAME 64×2 wrap32 scheme: a contained snippet's tokens line
-    // up with some window of the container at worst-case alignment
-    // J ≈ 0.33 (per-window detection ≥ 0.999 at 64 2-row bands), so
+    // 32-token windows at stride 16 and the windows are minhashed with
+    // the same wrap32 chain but banded 32 bands × 2-of-4-row keys (see
+    // windowBanded — NOT the doc-level 64×2; the halved band count is
+    // the zipf10 long-doc volume trim): a contained snippet's tokens
+    // line up with some window of the container at worst-case alignment
+    // J ≈ 0.33 (per-window detection ≈ 0.975 at 32 2-row bands, and
+    // most snippets span ≥ 2 windows), so
     // deep CONTIGUOUS containment — the quote/boilerplate-inclusion
     // case the operator exists for — is caught at ANY size ratio.
     // Measured (RecallProbe cont, planted concatenation parents):
@@ -695,8 +698,14 @@ object Dedup {
     val numHashes = 128
     val bands = 32
     val rows = numHashes / bands
+    // NO empty-shingle filter (round-10 advice item 4): production
+    // minhashPairs bands every doc, including <3-token docs whose empty
+    // sets minhash to the shared all-MaxValue sentinel bucket — the
+    // histogram must profile the IDENTICAL banded table or BandMass
+    // understates the candidate mass the real join pays. (bandProfile
+    // above keeps its filter: that entry is oracle-gated against a
+    // len(t) >= 3 signature chain.)
     val sig = withShingles(docs)
-      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"),
         HashOps.minhash(col("shingles"), numHashes).as("sig"))
     val banded = sig.select(
@@ -750,9 +759,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Bucket-size histogram of [[windowBanded]] (containment window
-    * geometry, 64 bands x 2 rows) — the BandMass input for the window
-    * candidate mass.
+  /** Bucket-size histogram of [[windowBanded]] (the containment window
+    * geometry the production pass uses: 32 bands keyed on 2 of each
+    * band's 4 rows, replicated by the DuckDB oracle) — the BandMass
+    * input for the window candidate mass.
     */
   def windowBandBucketSizeHist(docs: DataFrame): DataFrame =
     windowBanded(docs, 128, 32, 32, 16)

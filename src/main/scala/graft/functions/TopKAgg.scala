@@ -122,9 +122,251 @@ final class TopKBuffer(val k: Int) {
       .sortWith((a, b) => better(a._2, a._1, b._2, b._1))
 }
 
+/** NN-descent's per-round neighbor-list merge as ONE bounded-buffer
+  * aggregate (round-10 verdict item 4): payload-DEDUPING top-k by
+  * (score desc, payload asc) with a `fresh` flag ANDed across duplicate
+  * copies of a payload. The previous formulation was two full-sort
+  * shuffles per round — groupBy(src,dst) dedup THEN a row_number window
+  * — over the ~6M-edge merge input; this is one hash aggregation whose
+  * partial buffers cap the wire at O(k) values per (group, map task).
+  *
+  * Semantics contract (matches the window formulation exactly):
+  * duplicate payloads within a group carry IDENTICAL scores (a pair's
+  * cosine doesn't depend on which side re-discovered it), so dedup
+  * keeps the first copy's score and ANDs the flags — a pair present in
+  * both the old list (fresh=false) and the new candidates (fresh=true)
+  * is a re-discovery, not fresh. Selection is order-independent:
+  * payloads are unique in-buffer, so (score, payload) is a strict total
+  * order; an entry evicted from any partial buffer is dominated by k
+  * better entries that all reach the final merge, hence never in the
+  * true top-k — its possibly-lost flag is irrelevant.
+  */
+case class TopKFreshByScore(
+    payload: Expression,
+    score: Expression,
+    fresh: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKFreshBuffer] {
+
+  require(k > 0 && k <= 1024, "k out of range")
+
+  override def children: Seq[Expression] = Seq(payload, score, fresh)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("payload", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("fresh", BooleanType, nullable = false))),
+      containsNull = false)
+
+  override def createAggregationBuffer(): TopKFreshBuffer =
+    new TopKFreshBuffer(k)
+
+  override def update(buf: TopKFreshBuffer, input: InternalRow): TopKFreshBuffer = {
+    val p = payload.eval(input)
+    val s = score.eval(input)
+    val f = fresh.eval(input)
+    if (p != null && s != null && f != null)
+      buf.insert(p.asInstanceOf[Long], s.asInstanceOf[Double],
+        f.asInstanceOf[Boolean])
+    buf
+  }
+
+  override def merge(a: TopKFreshBuffer, b: TopKFreshBuffer): TopKFreshBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.payloads(i), b.scores(i), b.flags(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKFreshBuffer): Any =
+    new GenericArrayData(buf.sortedDesc.map { case (p, s, f) =>
+      InternalRow(p, s, f)
+    })
+
+  override def serialize(buf: TopKFreshBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 17)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putLong(buf.payloads(i)); bb.putDouble(buf.scores(i))
+      bb.put(if (buf.flags(i)) 1.toByte else 0.toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKFreshBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKFreshBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong, bb.getDouble, bb.get() == 1); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKFreshByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKFreshByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(payload = cs(0), score = cs(1), fresh = cs(2))
+}
+
+/** Bounded dedup-on-payload buffer for [[TopKFreshByScore]]. */
+final class TopKFreshBuffer(val k: Int) {
+  val payloads = new Array[Long](k)
+  val scores = new Array[Double](k)
+  val flags = new Array[Boolean](k)
+  var size = 0
+
+  private def better(s1: Double, p1: Long, s2: Double, p2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && p1 < p2)
+
+  def insert(p: Long, s: Double, f: Boolean): Unit = {
+    var i = 0
+    while (i < size) {
+      if (payloads(i) == p) {
+        // duplicate copy: identical score by contract; fresh = AND
+        if (!f) flags(i) = false
+        return
+      }
+      i += 1
+    }
+    if (size < k) {
+      payloads(size) = p; scores(size) = s; flags(size) = f; size += 1
+    } else {
+      var worst = 0
+      var j = 1
+      while (j < size) {
+        if (better(scores(worst), payloads(worst), scores(j), payloads(j))) worst = j
+        j += 1
+      }
+      if (better(s, p, scores(worst), payloads(worst))) {
+        payloads(worst) = p; scores(worst) = s; flags(worst) = f
+      }
+    }
+  }
+
+  def sortedDesc: Array[(Long, Double, Boolean)] =
+    (0 until size).map(i => (payloads(i), scores(i), flags(i))).toArray
+      .sortWith((a, b) => better(a._2, a._1, b._2, b._1))
+}
+
+/** Bounded bottom-k of payloads ranked by an exact LONG key
+  * (key asc, payload asc) — NN-descent's reverse-adjacency degree cap
+  * (the paper's ρ-sampling in deterministic xxhash64 order) without a
+  * full-sort window: long-key comparison keeps the selection bit-exact
+  * vs the row_number formulation (a double score would quantize 64-bit
+  * hashes above 2^53). Payloads are unique per group by construction
+  * (the edge list is deduped), so selection is order-independent.
+  */
+case class BottomKByLongKey(
+    payload: Expression,
+    key: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKBuffer] {
+
+  require(k > 0 && k <= 1024, "k out of range")
+
+  override def children: Seq[Expression] = Seq(payload, key)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer(k)
+
+  override def update(buf: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+    val p = payload.eval(input)
+    val kk = key.eval(input)
+    if (p != null && kk != null)
+      buf.insert(p.asInstanceOf[Long], kk.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: BottomKBuffer, b: BottomKBuffer): BottomKBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.payloads(i), b.keys(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: BottomKBuffer): Any =
+    new GenericArrayData(buf.sortedAsc)
+
+  override def serialize(buf: BottomKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putLong(buf.payloads(i)); bb.putLong(buf.keys(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new BottomKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKByLongKey =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKByLongKey =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(payload = cs(0), key = cs(1))
+}
+
+/** Bounded buffer for [[BottomKByLongKey]]: smaller (key, payload) wins. */
+final class BottomKBuffer(val k: Int) {
+  val payloads = new Array[Long](k)
+  val keys = new Array[Long](k)
+  var size = 0
+
+  private def better(k1: Long, p1: Long, k2: Long, p2: Long): Boolean =
+    k1 < k2 || (k1 == k2 && p1 < p2)
+
+  def insert(p: Long, kk: Long): Unit = {
+    if (size < k) {
+      payloads(size) = p; keys(size) = kk; size += 1
+    } else {
+      var worst = 0
+      var i = 1
+      while (i < size) {
+        if (better(keys(worst), payloads(worst), keys(i), payloads(i))) worst = i
+        i += 1
+      }
+      if (better(kk, p, keys(worst), payloads(worst))) {
+        payloads(worst) = p; keys(worst) = kk
+      }
+    }
+  }
+
+  def sortedAsc: Array[Long] =
+    (0 until size).map(i => (keys(i), payloads(i))).toArray
+      .sortWith((a, b) => better(a._1, a._2, b._1, b._2))
+      .map(_._2)
+}
+
 object TopKAgg {
   /** top_k(payload, score, k): array<struct<payload,score>> descending. */
   def topK(payload: Column, score: Column, k: Int): Column =
     column(TopKByScore(expression(payload), expression(score), k)
+      .toAggregateExpression())
+
+  /** Deduping top-k merge with AND'd fresh flags (NN-descent rounds). */
+  def topKFresh(payload: Column, score: Column, fresh: Column, k: Int): Column =
+    column(TopKFreshByScore(expression(payload), expression(score),
+      expression(fresh), k).toAggregateExpression())
+
+  /** bottom_k payloads by exact long key (reverse-degree cap). */
+  def bottomKByKey(payload: Column, key: Column, k: Int): Column =
+    column(BottomKByLongKey(expression(payload), expression(key), k)
       .toAggregateExpression())
 }

@@ -170,8 +170,19 @@ object SyntheticOrders {
     * eagerly — a streaming consumer may still be reading a landed dir
     * when the session ends).
     */
-  private val wireDirMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), String]
+  // bounded like AssetMemo/pairsModeMemo so stopped sessions aren't
+  // pinned for the JVM lifetime (round-10 advice item 5); values are
+  // paths under the session scratch root, which is already registered
+  // for delete at JVM exit — eviction needs no cleanup action
+  private def boundedDirMemo() =
+    new java.util.LinkedHashMap[(SparkSession, String), String](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), String])
+          : Boolean = size > 64
+    }
+
+  private val wireDirMemo = boundedDirMemo()
 
   def wireDir(s: SparkSession, d: String): String = synchronized {
     Option(wireDirMemo.get((s, d))) match {
@@ -210,8 +221,7 @@ object SyntheticOrders {
     * write per rep). Bench reports the landing as its own
     * `dlq_wire_build` line.
     */
-  private val dlqDirMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), String]
+  private val dlqDirMemo = boundedDirMemo()
 
   def dlqWireDir(s: SparkSession, d: String): String = synchronized {
     Option(dlqDirMemo.get((s, d))) match {

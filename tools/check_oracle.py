@@ -14,13 +14,23 @@ Usage: check_oracle.py [--digest-over=N] <sfDir> <verifyOutDir> [query ...]
 --digest-over=N (round-9 verdict item 3): results larger than N rows
 are compared by an exact DuckDB-side digest instead of the cell-wise
 pandas walk — the Spark result parquet is read INTO DuckDB, both sides
-are projected in sorted-column order with the oracle cast to the Spark
-parquet's column types, and (count, sum(hash(cols))) must agree. Order-
-independent, dtype-strict (the cast is to the SPARK schema; a schema
-drift fails the DESCRIBE comparison first), no pandas materialization —
-a 60M-row fanout digests in seconds where the cell walk was the reason
-19 sf10 keys were skipped. Without the flag behavior is unchanged
-(driver parity).
+are projected in sorted-column order, and (count, sum(hash(cols))) must
+agree. Order-independent, no pandas materialization — a 60M-row fanout
+digests in seconds where the cell walk was the reason 19 sf10 keys were
+skipped. Type discipline (round-10 advice item 1): both sides' DESCRIBE
+types are compared per column and a mismatch FAILS, with one sanctioned
+widening — integer-family widths (TINYINT..HUGEINT) are hashed through
+a lossless CAST to HUGEINT on BOTH sides, mirroring the cell walk's
+repr() semantics where int64 3 == int32 3 but 3 != 3.0 != Decimal('3').
+FLOAT vs DOUBLE, DECIMAL scale drift, DATE vs TIMESTAMP etc. are
+failures, never cast away. Without the flag the compare path is
+unchanged (driver parity).
+
+The DuckDB session timezone is pinned to UTC on BOTH paths (digest and
+cell walk): Spark writes TIMESTAMP-with-tz parquet under the UTC
+session convention, so on a non-UTC host the unpinned legacy walk would
+render instants shifted — the pin is driver parity (the driver runs
+UTC), not a digest-only concern.
 """
 import json
 import sys
@@ -38,9 +48,10 @@ for a in sys.argv[1:]:
 sfdir, outdir = argv[0], argv[1]
 only = set(argv[2:])
 con = duckdb.connect()
-# instants must render/cast identically on both sides of the digest
-# compare (Spark writes TIMESTAMP-with-tz parquet; oracles compute
-# naive TIMESTAMPs under the UTC session convention)
+# instants must render/cast identically on both sides of EITHER compare
+# path (Spark writes TIMESTAMP-with-tz parquet; oracles compute naive
+# TIMESTAMPs under the UTC session convention) — see the docstring: the
+# pin deliberately applies to the cell walk too, for driver parity
 con.execute("SET TimeZone='UTC'")
 # sf1-scale closure oracles (recursive-CTE pair-graph replicas) spill
 # 60-100 GB when DuckDB runs at its default memory budget; on a
@@ -93,17 +104,39 @@ for name, sql in sorted(oracle.items()):
                     f"DESCRIBE SELECT * FROM read_parquet('{res_glob}')"
                 ).fetchall()
                 got_types = {r[0]: r[1] for r in got_schema}
-                exp_cols = [r[0] for r in con.sql(
-                    f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()]
-                if sorted(got_types) != sorted(exp_cols):
+                exp_types = {r[0]: r[1] for r in con.sql(
+                    f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()}
+                if sorted(got_types) != sorted(exp_types):
                     print(f"FAIL {name}: cols {sorted(got_types)} != "
-                          f"{sorted(exp_cols)}")
+                          f"{sorted(exp_types)}")
                     fails += 1
                     continue
+                # type-strict compare with ONE sanctioned widening:
+                # integer widths hash through a lossless HUGEINT cast
+                # on BOTH sides (cell-walk repr parity); anything else
+                # must match exactly — a FLOAT/DOUBLE or DECIMAL-scale
+                # drift is a failure, never silently cast away
+                int_family = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                              "HUGEINT", "UTINYINT", "USMALLINT",
+                              "UINTEGER", "UBIGINT", "UHUGEINT"}
                 cols = sorted(got_types)
-                g_proj = ", ".join(f'"{c}"' for c in cols)
-                e_proj = ", ".join(
-                    f'CAST("{c}" AS {got_types[c]}) AS "{c}"' for c in cols)
+                type_fails = []
+                for c in cols:
+                    gt, et = got_types[c], exp_types[c]
+                    if gt != et and not (gt in int_family
+                                         and et in int_family):
+                        type_fails.append(f"{c}: spark {gt} vs oracle {et}")
+                if type_fails:
+                    print(f"FAIL {name}: dtype mismatch "
+                          f"[{'; '.join(type_fails)}]")
+                    fails += 1
+                    continue
+
+                def proj(c, t):
+                    return (f'CAST("{c}" AS HUGEINT) AS "{c}"'
+                            if t in int_family else f'"{c}"')
+                g_proj = ", ".join(proj(c, got_types[c]) for c in cols)
+                e_proj = ", ".join(proj(c, exp_types[c]) for c in cols)
                 hash_args = ", ".join(f'"{c}"' for c in cols)
                 dig = (f"SELECT count(*) AS n, sum(hash({hash_args})) AS h "
                        "FROM ({src}) t")
