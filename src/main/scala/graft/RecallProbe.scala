@@ -77,7 +77,21 @@ object RecallProbe {
       approx.unpersist(); exact.unpersist()
     }
 
-    if (which == "all" || which == "cont") {
+    // Containment recall with planted parents, two plant geometries
+    // (round-10 verdict items: contiguous = round-9 item 5; scattered =
+    // round-10 item 5). `interleave = false` builds each parent as the
+    // CONCATENATION of r consecutive sampled docs (every member's
+    // shingle set is a subset — the quote/boilerplate-inclusion case
+    // the window grid was built for). `interleave = true` builds the
+    // parent by ROUND-ROBIN INTERLEAVING 16-token chunks of the r
+    // members — each member's content is strewn through the parent in
+    // ⌈len/16⌉ non-contiguous spans, so no 32-token window of the
+    // parent is dominated by one member and the window-grid signatures
+    // see only mixtures (the documented residual the contract points
+    // at the exact path for). Chunk cuts cost ~2 boundary shingles
+    // each, so most members still exceed the 0.8 hot-filtered truth
+    // threshold the probe qualifies against — the truth CTE decides.
+    def contProbe(interleave: Boolean, outKey: String): Unit = {
       // Deep-asymmetry containment recall (round-9 verdict item 5):
       // plant snippet docs that are PREFIXES of sampled corpus docs at
       // size ratios R ∈ {2, 5, 10} (containment(snippet ⊆ parent) = 1
@@ -104,13 +118,28 @@ object RecallProbe {
           org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
       val groups = Seq(2, 5, 10)
       val larges = groups.map { r =>
-        sampled
-          .withColumn("grp", (col("rn") / r).cast("long"))
-          .groupBy("grp")
-          .agg(concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("rn"),
-              col("text")))), p => p.getField("text"))).as("text"),
-            count(lit(1)).as("members"))
+        val base = sampled.withColumn("grp", (col("rn") / r).cast("long"))
+        val built =
+          if (!interleave)
+            base.groupBy("grp")
+              .agg(concat_ws(" ",
+                transform(array_sort(collect_list(struct(col("rn"),
+                  col("text")))), p => p.getField("text"))).as("text"),
+                count(lit(1)).as("members"))
+          else
+            base
+              .select(col("grp"), col("rn"),
+                posexplode(split(trim(col("text")), "\\s+")))
+              .select(col("grp"), col("rn"),
+                (col("pos") / 16).cast("long").as("chunk"),
+                col("pos"), col("col").as("tok"))
+              .groupBy("grp")
+              .agg(concat_ws(" ",
+                transform(array_sort(collect_list(struct(col("chunk"),
+                  col("rn"), col("pos"), col("tok")))),
+                  p => p.getField("tok"))).as("text"),
+                count_distinct(col("rn")).as("members"))
+        built
           .filter(col("members") === r)
           .select((-(lit(r.toLong) * 10000000L + col("grp")) - 1L)
             .as("doc_id"), col("text"), lit(r).as("r"), col("grp"))
@@ -172,10 +201,14 @@ object RecallProbe {
         s""""$rb":{"n_true":$nt,"n_found":$nf,""" +
           s""""recall":${f"${nf.toDouble / math.max(nt, 1)}%.4f"}}"""
       }.mkString(",")
-      parts += s""""containment_lsh":{$rJson}"""
+      parts += s""""$outKey":{$rJson}"""
       larges.unpersist(); planted.unpersist(); corpus.unpersist()
       found.unpersist()
     }
+    if (which == "all" || which == "cont")
+      contProbe(interleave = false, "containment_lsh")
+    if (which == "all" || which == "scat")
+      contProbe(interleave = true, "containment_scattered")
 
     if (which == "all" || which == "emb") {
       // sample on the ORIGINAL id (copies live at −(id+1)) so a planted

@@ -446,12 +446,47 @@ object Dedup {
     (pmod(a, lit(4294967296L)) - lit(2147483648L)) * lit(4294967296L) +
       pmod(b, lit(4294967296L))
 
+  /** Default window-mass budget for the containment window grid, and
+    * the stride ladder that enforces it (round-10 verdict item 6): the
+    * un-trimmed sf10 verify spilled past 55 GB of disk and zipf10's
+    * long sparse docs spilled the first 64-band window cut — the
+    * round-10 trims fixed the MEASURED shapes, but nothing guarded a
+    * new corpus (very long docs × high window count) from re-spilling.
+    * The guard is a pre-flight estimate of the total window count
+    * Σ_docs (⌊max(tokens−32,0)/stride⌋+1) at the base stride — one
+    * cheap token-count scan — and a deterministic ladder that doubles
+    * the stride (16 → 32 → 64 → 128 → 256) until the estimated mass
+    * fits the budget, logged loudly. Integer-exact and replicated by
+    * the oracle (cwmass/cwst CTEs), so the two engines always pick the
+    * same stride and the entry stays hash-provable on any corpus
+    * shape. Strides above windowTokens sample the doc with gaps —
+    * degraded contiguous-containment recall, the documented trade for
+    * bounded disk; the exact sub-budget path is always lossless.
+    * Env override `SPARK_GRAFT_WINDOW_MASS_BUDGET` (both engines read
+    * it at plan/SQL build time — the SPARK_GRAFT_PAIRS pattern) exists
+    * to force the degraded rungs onto small corpora for parity proofs.
+    */
+  private[graft] def defaultWindowMassBudget: Long =
+    sys.env.get("SPARK_GRAFT_WINDOW_MASS_BUDGET").map(_.toLong)
+      .getOrElse(20000000L)
+
+  /** Smallest ladder stride whose estimated window mass fits `budget`:
+    * estimated mass at stride s is (massBase − nDocs)·base/s + nDocs
+    * (each doc keeps its +1 window), compared in exact integers.
+    */
+  private[graft] def windowStrideFor(massBase: Long, nDocs: Long,
+      base: Int, budget: Long): Int =
+    Seq(1L, 2L, 4L, 8L).map(m => (base * m).toInt)
+      .find(s => (massBase - nDocs) * base <= (budget - nDocs) * s)
+      .getOrElse(base * 16)
+
   def containmentPairsLsh(docs: DataFrame, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
       bandCap: Long = 256L,
       filteredPostings: Option[DataFrame] = None,
       windowTokens: Int = 32, windowStride: Int = 16,
-      windowBandCap: Long = 64L, windowBands: Int = 32): DataFrame = {
+      windowBandCap: Long = 64L, windowBands: Int = 32,
+      windowMassBudget: Long = defaultWindowMassBudget): DataFrame = {
     val rows = numHashes / bands
     // Verification reads HOT-FILTERED shingle sets so both branches
     // agree on what "common" counts (round-8 advice item): the exact
@@ -536,9 +571,32 @@ object Dedup {
         // the banded-table volume halves - long sparse docs (zipf10:
         // ~14 windows/doc x 510k docs) spilled the 64-band table past
         // the sandbox disk in the bench
+        // pre-flight disk-budget guard (see defaultWindowMassBudget):
+        // one token-count scan estimates the window mass at the base
+        // stride; the deterministic ladder doubles the stride until
+        // the estimate fits, and the oracle replicates the identical
+        // mass scalar + CASE ladder (cwmass/cwst)
+        val mrow = docs
+          .select(size(split(trim(col("text")), "\\s+")).as("l"))
+          .filter(col("l") >= 3)
+          .agg(coalesce(sum(
+            (greatest(col("l") - lit(windowTokens), lit(0))
+              / lit(windowStride)).cast("long") + 1L), lit(0L)).as("m"),
+            count(lit(1)).as("d"))
+          .head()
+        val strideSel = windowStrideFor(mrow.getLong(0), mrow.getLong(1),
+          windowStride, windowMassBudget)
+        if (strideSel != windowStride)
+          System.err.println(s"[graft] containment window-grid: " +
+            s"estimated window mass ${mrow.getLong(0)} over " +
+            s"${mrow.getLong(1)} docs exceeds budget $windowMassBudget " +
+            s"at stride $windowStride — DEGRADING stride to $strideSel " +
+            s"(deep-containment recall is reduced" +
+            (if (strideSel > windowTokens) "; stride exceeds the window " +
+              "width, coverage is now gappy-sampled" else "") + ")")
         val raw = bandedCappedPairs(
           windowBanded(docs, numHashes, windowBands, windowTokens,
-            windowStride),
+            strideSel),
           windowBandCap)
         val sz = shf.select(col("doc_id"), col("n"))
         raw
@@ -1251,6 +1309,12 @@ object Dedup {
       * verify; the window source is guarded at `cspent > budget` like
       * the signature chain, so sub-budget gates pay nothing for it.
       */
+    // the window-grid disk-budget scalar, interpolated into the cwst
+    // stride ladder — same JVM-time env read as the engine's default
+    // parameter, so the two sides always agree (see
+    // defaultWindowMassBudget)
+    private def windowMassBudgetSql: String = defaultWindowMassBudget.toString
+
     val containmentPairsSql: String =
       s"""$minhashSigBandsSql,
           cex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
@@ -1288,9 +1352,20 @@ object Dedup {
             FROM bands2k a JOIN bands2k b
               ON a.bnd = b.bnd AND a.k1 = b.k1 AND a.doc_id < b.doc_id
             WHERE (SELECT v FROM cspent) > 20000000),
+          cwmass AS (
+            SELECT coalesce(sum(greatest(len(t)-32, 0)//16 + 1), 0) AS m,
+                   count(*) AS d
+            FROM toks WHERE len(t) >= 3),
+          cwst AS (SELECT CASE
+              WHEN (m-d)*16 <= ($windowMassBudgetSql-d)*16 THEN 16
+              WHEN (m-d)*16 <= ($windowMassBudgetSql-d)*32 THEN 32
+              WHEN (m-d)*16 <= ($windowMassBudgetSql-d)*64 THEN 64
+              WHEN (m-d)*16 <= ($windowMassBudgetSql-d)*128 THEN 128
+              ELSE 256 END AS st FROM cwmass),
           cwin AS (SELECT doc_id, i AS w,
-              t[i*16+1 : i*16+32] AS wt
-            FROM toks, unnest(range(0, greatest((len(t)-32)//16, 0) + 1)) u(i)
+              t[i*(SELECT st FROM cwst)+1 : i*(SELECT st FROM cwst)+32] AS wt
+            FROM toks, unnest(range(0,
+              greatest((len(t)-32)//(SELECT st FROM cwst), 0) + 1)) u(i)
             WHERE len(t) >= 3 AND (SELECT v FROM cspent) > 20000000),
           cwsh AS (SELECT doc_id, w,
               list_distinct([array_to_string(wt[j:j+2], ' ')

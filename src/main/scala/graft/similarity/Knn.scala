@@ -141,14 +141,17 @@ object Knn {
     * decade. The offline K-sweeps show the recall plateau tracks K/n
     * only weakly (~logarithmically), so the width follows the judge-
     * prescribed K = max(30, c·log₂ n̄): c = 2.7 anchors the floor at
-    * the measured-perfect sf1 point (2.7·log₂ 2 180 = 29.9 → 30) and
-    * yields 39 at sf10 / 48 at the sf100 decade. Calibration artifact:
-    * KSWEEP_SF10.json (recall-vs-K·cost at the decade — K = 39
-    * measured ABOVE the 0.9 gate with margin). Cost grows ~K² per
-    * round (candidate pairs are (2K)² per pivot), so the log law buys
+    * the measured-near-perfect sf1 point (2.7·log₂ 2 180 = 29.9 → 30;
+    * recall 0.9968) and yields 39 at sf10 / 48 at the sf100 decade.
+    * Calibration artifact KSWEEP_SF10.json (same-day sweep at the
+    * decade): K = 30 → 0.9131, K = 39 → 0.9593, K = 48 → 0.9808 — the
+    * selected rung holds a +0.06 margin over the hash-gated bound and
+    * the next rung's measured recall covers the projected next-decade
+    * decline. Cost grows ~K² per round (candidate pairs are (2K)² per
+    * pivot); measured walls 364.8 / 478.9 / 644.2 s — the log law buys
     * recall headroom at ~(48/30)² ≈ 2.6× per two decades, not the
     * n-linear blowup a K ~ n rule would cost. Explicit kInternal > 0
-    * (the RecallProbe sweep dial) bypasses the rule.
+    * (the KSweep/RecallProbe dial) bypasses the rule.
     */
   def autoKInternal(meanLabelN: Double): Int = {
     val log2n = math.log(math.max(meanLabelN, 2.0)) / math.log(2.0)

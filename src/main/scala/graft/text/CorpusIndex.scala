@@ -380,15 +380,17 @@ object CorpusIndex {
          meta AS (SELECT doc_id, t,
                          len(t) // $IntraDocChunkTokens AS nchunks FROM toks),
          ch AS (
-           -- fixed unnest grid; bound derived from OracleMaxDocTokens
+           -- LATERAL per-doc grid (round-11): the earlier fixed
+           -- range(0, ${OracleMaxDocTokens / IntraDocChunkTokens}) grid
+           -- materialized ~1600 rows per doc BEFORE the i < nchunks
+           -- filter — 800M grid rows at sf10 against ~12.5M real
+           -- chunks, the OOM behind the round-10 sf10 skip; the
+           -- column-bounded range emits exactly nchunks rows per doc
            SELECT doc_id, i AS pos,
                   array_to_string(t[i*$IntraDocChunkTokens+1 :
                                     i*$IntraDocChunkTokens+$IntraDocChunkTokens],
                                   ' ') AS chunk
-           FROM meta,
-                unnest(range(0, ${OracleMaxDocTokens / IntraDocChunkTokens}))
-                  AS u(i)
-           WHERE i < nchunks),
+           FROM meta, unnest(range(0, nchunks)) AS u(i)),
          firsts AS (
            SELECT doc_id, chunk, min(pos) AS pos
            FROM ch GROUP BY doc_id, chunk),

@@ -324,4 +324,19 @@ class DedupSpec extends AnyFunSuite {
       assert(pairs <= 10L)
     }
   }
+  test("window-grid stride ladder selects integer-exact rungs") {
+    import graft.dedup.Dedup.windowStrideFor
+    // below budget: base stride kept (estimated mass (m-d)*16/s + d)
+    assert(windowStrideFor(1000L, 100L, 16, 2000L) == 16)
+    // each doubling halves the excess-window term until it fits
+    assert(windowStrideFor(3900L, 100L, 16, 2000L) == 32)
+    assert(windowStrideFor(7700L, 100L, 16, 2000L) == 64)
+    assert(windowStrideFor(15300L, 100L, 16, 2000L) == 128)
+    // past the last checked rung: pin the deepest (base * 16)
+    assert(windowStrideFor(100000L, 100L, 16, 2000L) == 256)
+    // more docs than budget: unsatisfiable at any stride -> deepest
+    assert(windowStrideFor(5000L, 3000L, 16, 2000L) == 256)
+    // all-short corpus (every doc one window): mass == d, always fits
+    assert(windowStrideFor(500L, 500L, 16, 600L) == 16)
+  }
 }

@@ -18,12 +18,14 @@ are projected in sorted-column order, and (count, sum(hash(cols))) must
 agree. Order-independent, no pandas materialization — a 60M-row fanout
 digests in seconds where the cell walk was the reason 19 sf10 keys were
 skipped. Type discipline (round-10 advice item 1): both sides' DESCRIBE
-types are compared per column and a mismatch FAILS, with one sanctioned
-widening — integer-family widths (TINYINT..HUGEINT) are hashed through
-a lossless CAST to HUGEINT on BOTH sides, mirroring the cell walk's
-repr() semantics where int64 3 == int32 3 but 3 != 3.0 != Decimal('3').
-FLOAT vs DOUBLE, DECIMAL scale drift, DATE vs TIMESTAMP etc. are
-failures, never cast away. Without the flag the compare path is
+types are compared per column and a mismatch FAILS, with two sanctioned
+widenings: integer-family widths (TINYINT..HUGEINT) hash through a
+lossless CAST to HUGEINT on BOTH sides (mirroring the cell walk's
+repr() semantics where int64 3 == int32 3 but 3 != 3.0 != Decimal('3')),
+and TIMESTAMP vs TIMESTAMP WITH TIME ZONE hash through TIMESTAMPTZ
+(lossless under the pinned-UTC session — Spark writes instant parquet,
+oracles compute naive UTC). FLOAT vs DOUBLE, DECIMAL scale drift,
+DATE vs TIMESTAMP etc. are failures, never cast away. Without the flag the compare path is
 unchanged (driver parity).
 
 The DuckDB session timezone is pinned to UTC on BOTH paths (digest and
@@ -111,20 +113,26 @@ for name, sql in sorted(oracle.items()):
                           f"{sorted(exp_types)}")
                     fails += 1
                     continue
-                # type-strict compare with ONE sanctioned widening:
-                # integer widths hash through a lossless HUGEINT cast
-                # on BOTH sides (cell-walk repr parity); anything else
-                # must match exactly — a FLOAT/DOUBLE or DECIMAL-scale
-                # drift is a failure, never silently cast away
+                # type-strict compare with TWO sanctioned widenings:
+                # (1) integer widths hash through a lossless HUGEINT
+                # cast on BOTH sides (cell-walk repr parity: int64 3 ==
+                # int32 3); (2) instants — Spark writes TIMESTAMP WITH
+                # TIME ZONE parquet, oracles compute naive TIMESTAMPs
+                # under the pinned-UTC session, so both hash through a
+                # lossless TIMESTAMPTZ cast. Anything else must match
+                # exactly — a FLOAT/DOUBLE or DECIMAL-scale drift is a
+                # failure, never silently cast away
                 int_family = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                               "HUGEINT", "UTINYINT", "USMALLINT",
                               "UINTEGER", "UBIGINT", "UHUGEINT"}
+                ts_family = {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}
                 cols = sorted(got_types)
                 type_fails = []
                 for c in cols:
                     gt, et = got_types[c], exp_types[c]
-                    if gt != et and not (gt in int_family
-                                         and et in int_family):
+                    if gt != et and not (
+                            (gt in int_family and et in int_family)
+                            or (gt in ts_family and et in ts_family)):
                         type_fails.append(f"{c}: spark {gt} vs oracle {et}")
                 if type_fails:
                     print(f"FAIL {name}: dtype mismatch "
@@ -133,8 +141,11 @@ for name, sql in sorted(oracle.items()):
                     continue
 
                 def proj(c, t):
-                    return (f'CAST("{c}" AS HUGEINT) AS "{c}"'
-                            if t in int_family else f'"{c}"')
+                    if t in int_family:
+                        return f'CAST("{c}" AS HUGEINT) AS "{c}"'
+                    if t in ts_family:
+                        return f'CAST("{c}" AS TIMESTAMPTZ) AS "{c}"'
+                    return f'"{c}"'
                 g_proj = ", ".join(proj(c, got_types[c]) for c in cols)
                 e_proj = ", ".join(proj(c, exp_types[c]) for c in cols)
                 hash_args = ", ".join(f'"{c}"' for c in cols)
