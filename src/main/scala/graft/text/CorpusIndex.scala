@@ -397,18 +397,24 @@ object CorpusIndex {
          keptagg AS (
            SELECT doc_id, count(*) AS n_kept,
                   array_to_string(list(chunk ORDER BY pos), ' ') AS kept_str
-           FROM firsts GROUP BY doc_id)
-         SELECT m.doc_id,
-                CAST(m.nchunks AS BIGINT) AS n_chunks,
-                COALESCE(k.n_kept, 0) AS n_kept,
-                md5(concat_ws(' ', k.kept_str,
-                    nullif(array_to_string(
-                             m.t[m.nchunks*$IntraDocChunkTokens+1 : len(m.t)],
-                             ' '),
-                           ''))) AS text_md5
-         FROM meta m
-         LEFT JOIN keptagg k USING (doc_id)
-         ORDER BY m.doc_id"""),
+           FROM firsts GROUP BY doc_id),
+         fin AS (
+           SELECT m.doc_id,
+                  CAST(m.nchunks AS BIGINT) AS n_chunks,
+                  COALESCE(k.n_kept, 0) AS n_kept,
+                  md5(concat_ws(' ', k.kept_str,
+                      nullif(array_to_string(
+                               m.t[m.nchunks*$IntraDocChunkTokens+1 : len(m.t)],
+                               ' '),
+                             ''))) AS text_md5
+           FROM meta m
+           LEFT JOIN keptagg k USING (doc_id))
+         -- NO ORDER BY (round 11): a sort anywhere above the
+         -- join+projection makes DuckDB hold the pre-projection token
+         -- lists through the sort and OOM past 100 GB at sf10, where
+         -- the unordered query runs in ~45 s; the driver compare
+         -- sorts both sides itself, so SQL order is immaterial
+         SELECT * FROM fin"""),
 
     // D83 — boilerplate-chunk removal (the C4/CCNet-style strip):
     // drop EVERY occurrence of any 16-token chunk that appears more

@@ -41,8 +41,18 @@ for k in keys:
     cmd += [sfdir, outdir, k]
     t0 = time.time()
     try:
-        p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout)
+        # DuckDB's memory-limit accounting is flaky near the cap at
+        # sf10 scale (measured round 11: the identical statement
+        # sequence alternates between 45s success and 'Failed to
+        # allocate block' in fresh processes) — retry OOMs up to twice,
+        # each attempt its own process/buffer pool
+        for attempt in range(3):
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+            if "Out of Memory Error" not in p.stdout or attempt == 2:
+                break
+            print(f"RETRY {k}: DuckDB OOM (attempt {attempt + 1})",
+                  flush=True)
         secs = round(time.time() - t0, 1)
         out = p.stdout
         m = re.search(rf"OK\s+{re.escape(k)}: (\d+) rows", out)
