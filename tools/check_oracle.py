@@ -9,7 +9,15 @@ array (ndarray) cell makes sort_values throw. Round 1 lost decimal_sum /
 sessionize / array_agg_statuses exactly this way while the lenient local
 check passed, so this replica mimics the strict behavior.
 
-Usage: check_oracle.py [--digest-over=N] <sfDir> <verifyOutDir> [query ...]
+Usage: check_oracle.py [--digest-over=N] [--chain-cache]
+                       <sfDir> <verifyOutDir> [query ...]
+
+--chain-cache (round 11): materialize the shared murmur3 pair-graph
+chain (Dedup.MurmurSql.pairGraphChainSql, byte-identical across its
+~20 consumer oracles) ONCE as a temp table and rewrite the consumers
+onto it — turns the slice-scale family sweep from ~20 min/key into one
+chain evaluation plus cheap downstreams. Semantically identity-
+preserving: the cache is built from the exact fragment it replaces.
 
 --digest-over=N (round-9 verdict item 3): results larger than N rows
 are compared by an exact DuckDB-side digest instead of the cell-wise
@@ -42,7 +50,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-argv = [a for a in sys.argv[1:] if not a.startswith("--digest-over")]
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
 digest_over = None
 for a in sys.argv[1:]:
     if a.startswith("--digest-over"):
@@ -76,6 +84,119 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
+
+# --chain-cache (round 11): the ~20 pair-graph consumer oracles each
+# embed the IDENTICAL Dedup.MurmurSql.pairGraphChainSql fragment
+# (ptoks ... pairs), and DuckDB evaluates it per query — ~15-25 min
+# per key at the 250k-doc slice, which made the full-family sweep
+# infeasible. The fragment is one Scala constant, so its text is
+# byte-identical across consumers: materialize `pairs` ONCE as a temp
+# table, then rewrite each matching oracle by excising the chain CTEs
+# (DuckDB materializes even UNREFERENCED `AS MATERIALIZED` CTEs —
+# measured 135s for a dangling one — so they must be removed, keeping
+# only the transitive closure of chain CTEs the rest of the query
+# still references) and pointing `pairs` at the cache. Rewritten and
+# original oracles are semantically identical by construction: the
+# cache is built from the very fragment it replaces.
+CHAIN_MARKER = ("pairs AS MATERIALIZED (\n            "
+                "SELECT * FROM pepairs UNION ALL SELECT * FROM plpairs)")
+if "--chain-cache" in sys.argv:
+    import re as _re
+
+    def split_ctes(chain):
+        """Parse 'name AS [MATERIALIZED] (body), ...' at paren depth 0,
+        skipping single-quoted spans."""
+        out = []
+        i = 0
+        pat = _re.compile(r"(\w+) AS (?:MATERIALIZED )?\(")
+        while i < len(chain):
+            m = pat.search(chain, i)
+            if not m:
+                break
+            depth = 0
+            j = m.end() - 1
+            while j < len(chain):
+                ch = chain[j]
+                if ch == "'":
+                    j = chain.index("'", j + 1)
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            out.append((m.group(1), chain[m.start():j + 1]))
+            i = j + 1
+        return out
+
+    cacheable = {k: s for k, s in oracle.items()
+                 if CHAIN_MARKER in s and (not only or k in only)}
+    if cacheable:
+        from collections import Counter
+
+        def chain_of(s):
+            return s[s.find("ptoks AS"):s.find(CHAIN_MARKER)
+                     + len(CHAIN_MARKER)]
+        canon = Counter(chain_of(s) for s in cacheable.values()) \
+            .most_common(1)[0][0]
+        import hashlib as _hl
+        import os as _os
+        import time as _time
+        _t0 = _time.time()
+        # persist per (corpus, chain-text): a re-run after fixing one
+        # consumer's downstream SQL must not re-pay the ~25-min chain
+        _ck = _hl.md5((sfdir + "\0" + canon).encode()).hexdigest()[:16]
+        _cache_dir = _os.environ.get("GRAFT_CHAIN_CACHE_DIR")
+        _cache_file = (f"{_cache_dir}/pairs_{_ck}.parquet"
+                       if _cache_dir else None)
+        if _cache_file and Path(_cache_file).exists():
+            print(f"chain-cache: loading {_cache_file}", flush=True)
+            con.execute("CREATE TEMP TABLE cached_pairs AS "
+                        f"SELECT * FROM '{_cache_file}'")
+        else:
+            print("chain-cache: materializing the shared pair graph "
+                  "once ...", flush=True)
+            con.execute("CREATE TEMP TABLE cached_pairs AS WITH "
+                        f"{canon} SELECT * FROM pairs")
+            if _cache_file:
+                con.execute(f"COPY cached_pairs TO '{_cache_file}'")
+        n_cached = con.sql("SELECT count(*) FROM cached_pairs").fetchone()[0]
+        print(f"chain-cache: {n_cached} pairs in "
+              f"{_time.time() - _t0:.1f}s", flush=True)
+        ctes = split_ctes(canon)
+        cte_names = [n for n, _ in ctes]
+        rewritten = 0
+        for k, s in cacheable.items():
+            if chain_of(s) != canon:
+                print(f"chain-cache: {k} chain differs — left as-is",
+                      flush=True)
+                continue
+            start = s.find("ptoks AS")
+            end = s.find(CHAIN_MARKER) + len(CHAIN_MARKER)
+            rest = s[:start] + s[end:]
+            # transitive closure of chain CTEs the REST still references
+            keep = set()
+            frontier = [n for n in cte_names
+                        if n != "pairs"
+                        and _re.search(rf"\b{n}\b", rest)]
+            while frontier:
+                n = frontier.pop()
+                if n in keep:
+                    continue
+                keep.add(n)
+                body = dict(ctes)[n]
+                frontier += [m for m in cte_names
+                             if m != n and m != "pairs"
+                             and m not in keep
+                             and _re.search(rf"\b{m}\b", body)]
+            parts = [t for n, t in ctes if n in keep]
+            parts.append("pairs AS MATERIALIZED "
+                         "(SELECT * FROM cached_pairs)")
+            oracle[k] = s[:start] + ",\n          ".join(parts) + s[end:]
+            rewritten += 1
+        print(f"chain-cache: rewrote {rewritten}/{len(cacheable)} "
+              "oracles onto the cache", flush=True)
 unknown = only - set(oracle)
 if unknown:
     # a typo'd filter must not report "1/1 queries match"
