@@ -300,7 +300,17 @@ object Bench {
         s""""sentinel":$sentinelSummary,"sentinel_times":$sentinelFull,""" +
         s""""queries":${jsonMap(results)},""" +
         s""""queries_cpu_sec":${jsonMap(cpuResults)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Focused runs (SPARK_GRAFT_ONLY set) go to their own file — a
+    // 3-query iteration must never clobber the committed full-catalog
+    // artifact (round-11 verdict "what's wrong" item 1)
+    val outName = only match {
+      case Some(names) =>
+        val tag = names.toSeq.sorted.mkString("-")
+          .replaceAll("[^A-Za-z0-9_-]", "").take(60)
+        s"BENCH_FOCUSED_$tag.json"
+      case None => "BENCH_FULL.json"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()
     // final stdout line — after stop() so no Spark logging can interleave

@@ -228,7 +228,19 @@ final class TopKFreshBuffer(val k: Int) {
     var i = 0
     while (i < size) {
       if (payloads(i) == p) {
-        // duplicate copy: identical score by contract; fresh = AND
+        // duplicate copy: identical score by contract; fresh = AND.
+        // The contract is CHECKED, not just documented (round-11
+        // advice item 3): a caller feeding a nondeterministic score
+        // expression would otherwise get a partition-order-dependent
+        // graph — keep-first vs the old window's max(score) diverge
+        // silently. NaN never qualifies as a score here (cosines are
+        // finite by construction), so != is a faithful inequality.
+        if (scores(i) != s)
+          throw new IllegalStateException(
+            s"TopKFreshByScore contract violation: payload $p seen " +
+              s"with scores ${scores(i)} and $s — duplicate payloads " +
+              "must carry identical scores (deterministic score " +
+              "expression required)")
         if (!f) flags(i) = false
         return
       }

@@ -145,13 +145,27 @@ if "--chain-cache" in sys.argv:
         import time as _time
         _t0 = _time.time()
         # persist per (corpus, chain-text): a re-run after fixing one
-        # consumer's downstream SQL must not re-pay the ~25-min chain
-        _ck = _hl.md5((sfdir + "\0" + canon).encode()).hexdigest()[:16]
+        # consumer's downstream SQL must not re-pay the ~25-min chain.
+        # The key folds in a CORPUS FINGERPRINT (documents parquet file
+        # names + sizes + mtimes), not just the sfdir path — if the
+        # corpus under the path is regenerated in place, a stale cache
+        # would silently feed wrong pairs to ~20 oracles (round-11
+        # advice item 1)
+        _doc_dir = Path(sfdir) / "documents.parquet"
+        _doc_files = sorted(_doc_dir.glob("*.parquet")) \
+            if _doc_dir.is_dir() else [_doc_dir]
+        _fp = ";".join(f"{f.name}:{f.stat().st_size}:"
+                       f"{f.stat().st_mtime_ns}" for f in _doc_files)
+        _ck = _hl.md5((sfdir + "\0" + _fp + "\0" + canon)
+                      .encode()).hexdigest()[:16]
         _cache_dir = _os.environ.get("GRAFT_CHAIN_CACHE_DIR")
         _cache_file = (f"{_cache_dir}/pairs_{_ck}.parquet"
                        if _cache_dir else None)
         if _cache_file and Path(_cache_file).exists():
-            print(f"chain-cache: loading {_cache_file}", flush=True)
+            _mt = __import__("datetime").datetime.fromtimestamp(
+                Path(_cache_file).stat().st_mtime)
+            print(f"chain-cache: loading {_cache_file} "
+                  f"(written {_mt:%Y-%m-%d %H:%M})", flush=True)
             con.execute("CREATE TEMP TABLE cached_pairs AS "
                         f"SELECT * FROM '{_cache_file}'")
         else:

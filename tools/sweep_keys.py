@@ -49,9 +49,17 @@ for k in keys:
         for attempt in range(3):
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout)
-            if "Out of Memory Error" not in p.stdout or attempt == 2:
+            # an OOM can also surface OUTSIDE check_oracle's per-query
+            # try blocks (view setup, chain-cache materialization) as a
+            # traceback on stderr with a nonzero exit — scan both
+            # streams, and retry a nonzero-exit/empty-stdout crash too
+            # (round-11 advice: those were recorded as plain FAILs)
+            oom = ("Out of Memory Error" in p.stdout
+                   or "Out of Memory Error" in p.stderr
+                   or (p.returncode != 0 and not p.stdout.strip()))
+            if not oom or attempt == 2:
                 break
-            print(f"RETRY {k}: DuckDB OOM (attempt {attempt + 1})",
+            print(f"RETRY {k}: DuckDB OOM/crash (attempt {attempt + 1})",
                   flush=True)
         secs = round(time.time() - t0, 1)
         out = p.stdout
