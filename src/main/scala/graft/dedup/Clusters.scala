@@ -138,6 +138,149 @@ object Clusters {
     ranks
   }
 
+  /** Shared construction for D64 (`cc_incremental`) and its
+    * invariants gate (`cc_inc_invariants`): the incremental update
+    * graph and its closure, returned as (labels, updateEdges,
+    * baseLabels) so the invariants key checks properties of the SAME
+    * frames the gated output is built from. See the `cc_incremental`
+    * entry's comment for the full oracle-contract story.
+    */
+  private[graft] def ccIncrementalGraph(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+        val isBatch = pmod(col("doc_id"), lit(10L)) === 0L
+        val base = docs.filter(!isBatch)
+        val batch = docs.filter(isBatch)
+        // The postings table is the precomputed index state: the SHARED
+        // corpus asset (tokenized once per corpus snapshot, persisted),
+        // sliced by doc_id — the probe, the batch pairing, and the hot
+        // set all read it instead of re-shingling the corpus per pass
+        // (tokenize+explode passes collapse to 1, amortized across
+        // every n-gram dedup entry in the session).
+        val post = Dedup.sharedPostings(s, d)
+        val basePost = Some(post.filter(pmod(col("doc_id"), lit(10L)) =!= 0L))
+        val batchPost = Some(post.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+        // materialized once: three consumers, and the set is tiny by
+        // construction (only above-cap shingles survive)
+        val hotAll = Some(Dedup.hotShingles(docs,
+          postingsSet = Some(post)).localCheckpoint(true))
+        val baseLabels = connectedComponents(
+          Dedup.sharedPairs(s, d)
+            .filter(pmod(col("doc_a"), lit(10L)) =!= 0L &&
+              pmod(col("doc_b"), lit(10L)) =!= 0L)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5,
+            hotSet = hotAll, basePostings = basePost,
+            incomingPostings = batchPost)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5,
+            hotSet = hotAll, postingsSet = batchPost)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labelEdges = baseLabels
+          .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
+        // materialize the update graph ONCE: both the CC run and the
+        // vertex filter below consume it, and without this the probe
+        // and batch shingle joins would re-execute for the filter
+        val updateEdges = labelEdges
+          .unionByName(crossEdges).unionByName(batchEdges)
+          .localCheckpoint(true)
+        val labels = connectedComponents(updateEdges)
+          // label self-edges (singleton base clusters) make their vertex
+          // edge-incident even when the full recompute would not emit
+          // it; keep only vertices a full pairing would return (cross/
+          // batch pairs are strict doc_a < doc_b, so src =!= dst only
+          // drops the label self-loops)
+          .join(
+            updateEdges.filter(col("src") =!= col("dst"))
+              .select(explode(array(col("src"), col("dst"))).as("doc_id"))
+              .distinct(),
+            "doc_id")
+        (labels, updateEdges, baseLabels)
+  }
+
+  /** Branch-split DuckDB oracle for D64 — equality vs the
+    * from-scratch closure below the pair budget, incremental-
+    * construction replica above (see the key's comment).
+    */
+  private[graft] val ccIncrementalOracle: String =
+    """WITH RECURSIVE
+         """ + Dedup.MurmurSql.pairGraphChainSql + """,
+         fpairs AS (SELECT * FROM pairs
+                    WHERE (SELECT v FROM pspent) <= 1000000000),
+         fsym AS MATERIALIZED (
+           SELECT doc_a AS a, doc_b AS b FROM fpairs
+           UNION SELECT doc_b, doc_a FROM fpairs
+           UNION SELECT doc_a, doc_a FROM fpairs
+           UNION SELECT doc_b, doc_b FROM fpairs),
+         freach(a, b) AS (
+           SELECT a, b FROM fsym
+           UNION
+           SELECT r.a, s.b FROM freach r JOIN fsym s ON r.b = s.a),
+         fout AS (SELECT a AS doc_id, min(b) AS cluster_rep
+                  FROM freach GROUP BY a),
+         lpairs AS (SELECT * FROM pairs
+                    WHERE (SELECT v FROM pspent) > 1000000000),
+         bpairs AS (SELECT doc_a, doc_b FROM lpairs
+                    WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+         bsym AS MATERIALIZED (
+           SELECT doc_a AS a, doc_b AS b FROM bpairs
+           UNION SELECT doc_b, doc_a FROM bpairs
+           UNION SELECT doc_a, doc_a FROM bpairs
+           UNION SELECT doc_b, doc_b FROM bpairs),
+         breach(a, b) AS (
+           SELECT a, b FROM bsym
+           UNION
+           SELECT r.a, s.b FROM breach r JOIN bsym s ON r.b = s.a),
+         blabels AS (SELECT a AS doc_id, min(b) AS rep
+                     FROM breach GROUP BY a),
+         -- pexf is source-guarded EMPTY above budget; the probe needs
+         -- the hot-filtered postings exactly there, oppositely guarded
+         ipexf AS MATERIALIZED (
+           SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)
+             AND (SELECT v FROM pspent) > 1000000000),
+         ibase AS (SELECT * FROM ipexf WHERE doc_id % 10 <> 0),
+         ibatch AS (SELECT * FROM ipexf WHERE doc_id % 10 = 0),
+         icross AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ibase a JOIN ibatch b ON a.s = b.s
+             AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n
+           GROUP BY 1, 2),
+         icrossp AS (SELECT doc_a, doc_b FROM icross
+                     WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         ibb AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ibatch a JOIN ibatch b ON a.s = b.s
+             AND a.doc_id < b.doc_id
+             AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n
+           GROUP BY 1, 2),
+         ibatchp AS (SELECT doc_a, doc_b FROM ibb
+                     WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         iedges AS MATERIALIZED (
+           SELECT doc_id AS src, rep AS dst FROM blabels
+           UNION ALL SELECT doc_a, doc_b FROM icrossp
+           UNION ALL SELECT doc_a, doc_b FROM ibatchp),
+         isym AS MATERIALIZED (
+           SELECT src AS a, dst AS b FROM iedges
+           UNION SELECT dst, src FROM iedges
+           UNION SELECT src, src FROM iedges
+           UNION SELECT dst, dst FROM iedges),
+         ireach(a, b) AS (
+           SELECT a, b FROM isym
+           UNION
+           SELECT r.a, s.b FROM ireach r JOIN isym s ON r.b = s.a),
+         iclu AS (SELECT a AS doc_id, min(b) AS cluster_rep
+                  FROM ireach GROUP BY a),
+         ivert AS (SELECT DISTINCT v AS doc_id FROM (
+             SELECT src AS v FROM iedges WHERE src <> dst
+             UNION ALL SELECT dst FROM iedges WHERE src <> dst)),
+         iout AS (SELECT c.doc_id, c.cluster_rep
+                  FROM iclu c JOIN ivert USING (doc_id))
+         SELECT * FROM (SELECT * FROM fout UNION ALL SELECT * FROM iout)
+         ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // D14 — dedup clusters over the n-gram near-dup graph: every doc in
@@ -429,133 +572,75 @@ object Clusters {
     // gate there, equality gate below.
     // Restricted to edge-incident vertices to match.
     "cc_incremental" -> QueryDef(
+      (s, d) => ccIncrementalGraph(s, d)._1.orderBy("doc_id"),
+      ccIncrementalOracle),
+
+    // D64b — IMPLEMENTATION-INDEPENDENT invariants of the incremental
+    // closure (round-11 verdict item 3): above the pair budget
+    // cc_incremental's oracle is a construction replica — both engines
+    // compute the same incremental construction, which proves
+    // cross-engine agreement but checks no property the construction
+    // couldn't violate on both sides at once. This key gates three
+    // properties ANY correct incremental clustering must satisfy,
+    // computed by Spark over its own emitted output and hash-compared
+    // to literal truth (the knn_graph recall_ok pattern):
+    //  (a) base-label refinement — restricted to base docs, the
+    //      incremental labels never SPLIT a standing base cluster
+    //      (every base cluster's members present in the output map to
+    //      exactly one output label);
+    //  (b) edge containment — every emitted update edge (the exact
+    //      probe pairs, the batch pairs, and the base label edges) is
+    //      intra-cluster in the output;
+    //  (c) closure idempotence — re-running connected components over
+    //      the emitted labeling's own (doc → rep) star graph is a
+    //      fixpoint: reps are self-labeled minima, no chained or
+    //      non-canonical representatives survive.
+    // Each is one keyed join/aggregate over the dup-bounded output —
+    // cheap at any scale. The output identity itself stays gated by
+    // cc_incremental at every proven SF; this key makes the
+    // above-budget arm falsifiable by properties neither engine's
+    // construction can define away.
+    "cc_inc_invariants" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val isBatch = pmod(col("doc_id"), lit(10L)) === 0L
-        val base = docs.filter(!isBatch)
-        val batch = docs.filter(isBatch)
-        // The postings table is the precomputed index state: the SHARED
-        // corpus asset (tokenized once per corpus snapshot, persisted),
-        // sliced by doc_id — the probe, the batch pairing, and the hot
-        // set all read it instead of re-shingling the corpus per pass
-        // (tokenize+explode passes collapse to 1, amortized across
-        // every n-gram dedup entry in the session).
-        val post = Dedup.sharedPostings(s, d)
-        val basePost = Some(post.filter(pmod(col("doc_id"), lit(10L)) =!= 0L))
-        val batchPost = Some(post.filter(pmod(col("doc_id"), lit(10L)) === 0L))
-        // materialized once: three consumers, and the set is tiny by
-        // construction (only above-cap shingles survive)
-        val hotAll = Some(Dedup.hotShingles(docs,
-          postingsSet = Some(post)).localCheckpoint(true))
-        val baseLabels = connectedComponents(
-          Dedup.sharedPairs(s, d)
-            .filter(pmod(col("doc_a"), lit(10L)) =!= 0L &&
-              pmod(col("doc_b"), lit(10L)) =!= 0L)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-        val crossEdges = Dedup.ngramJaccardProbe(base, batch, 0.5,
-            hotSet = hotAll, basePostings = basePost,
-            incomingPostings = batchPost)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val batchEdges = Dedup.ngramJaccardPairs(batch, 0.5,
-            hotSet = hotAll, postingsSet = batchPost)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val labelEdges = baseLabels
-          .select(col("doc_id").as("src"), col("cluster_rep").as("dst"))
-        // materialize the update graph ONCE: both the CC run and the
-        // vertex filter below consume it, and without this the probe
-        // and batch shingle joins would re-execute for the filter
-        val updateEdges = labelEdges
-          .unionByName(crossEdges).unionByName(batchEdges)
-          .localCheckpoint(true)
-        connectedComponents(updateEdges)
-          // label self-edges (singleton base clusters) make their vertex
-          // edge-incident even when the full recompute would not emit
-          // it; keep only vertices a full pairing would return (cross/
-          // batch pairs are strict doc_a < doc_b, so src =!= dst only
-          // drops the label self-loops)
-          .join(
-            updateEdges.filter(col("src") =!= col("dst"))
-              .select(explode(array(col("src"), col("dst"))).as("doc_id"))
-              .distinct(),
-            "doc_id")
-          .orderBy("doc_id")
+        val (labels, updateEdges, baseLabels) = ccIncrementalGraph(s, d)
+        // consumed by four checks — materialize once
+        val out = labels.localCheckpoint(true)
+        val la = out.select(col("doc_id"), col("cluster_rep").as("new_rep"))
+        val splitBase = baseLabels
+          .select(col("doc_id"), col("cluster_rep").as("base_rep"))
+          .join(la, "doc_id")
+          .groupBy("base_rep")
+          .agg(count_distinct(col("new_rep")).as("nl"))
+          .filter(col("nl") > 1L)
+          .agg(count(lit(1)).as("n_split_base_clusters"))
+        val interEdges = updateEdges
+          .filter(col("src") =!= col("dst"))
+          .join(la.select(col("doc_id").as("src"),
+            col("new_rep").as("src_rep")), "src")
+          .join(la.select(col("doc_id").as("dst"),
+            col("new_rep").as("dst_rep")), "dst")
+          .agg(coalesce(sum(when(col("src_rep") =!= col("dst_rep"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_inter_cluster_edges"))
+        val relabel = connectedComponents(
+          out.select(col("doc_id").as("src"), col("cluster_rep").as("dst")))
+        val fixViol = out
+          .join(relabel.withColumnRenamed("cluster_rep", "rep2"), "doc_id")
+          .agg(coalesce(sum(when(col("cluster_rep") =!= col("rep2"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_fixpoint_violations"))
+        splitBase.crossJoin(interEdges).crossJoin(fixViol)
+          .select(col("n_split_base_clusters"),
+            col("n_inter_cluster_edges"), col("n_fixpoint_violations"),
+            (col("n_split_base_clusters") === 0L).as("refines_base"),
+            (col("n_inter_cluster_edges") === 0L).as("edges_intra"),
+            (col("n_fixpoint_violations") === 0L).as("closure_fixpoint"))
       },
-      """WITH RECURSIVE
-         """ + Dedup.MurmurSql.pairGraphChainSql + """,
-         fpairs AS (SELECT * FROM pairs
-                    WHERE (SELECT v FROM pspent) <= 1000000000),
-         fsym AS MATERIALIZED (
-           SELECT doc_a AS a, doc_b AS b FROM fpairs
-           UNION SELECT doc_b, doc_a FROM fpairs
-           UNION SELECT doc_a, doc_a FROM fpairs
-           UNION SELECT doc_b, doc_b FROM fpairs),
-         freach(a, b) AS (
-           SELECT a, b FROM fsym
-           UNION
-           SELECT r.a, s.b FROM freach r JOIN fsym s ON r.b = s.a),
-         fout AS (SELECT a AS doc_id, min(b) AS cluster_rep
-                  FROM freach GROUP BY a),
-         lpairs AS (SELECT * FROM pairs
-                    WHERE (SELECT v FROM pspent) > 1000000000),
-         bpairs AS (SELECT doc_a, doc_b FROM lpairs
-                    WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
-         bsym AS MATERIALIZED (
-           SELECT doc_a AS a, doc_b AS b FROM bpairs
-           UNION SELECT doc_b, doc_a FROM bpairs
-           UNION SELECT doc_a, doc_a FROM bpairs
-           UNION SELECT doc_b, doc_b FROM bpairs),
-         breach(a, b) AS (
-           SELECT a, b FROM bsym
-           UNION
-           SELECT r.a, s.b FROM breach r JOIN bsym s ON r.b = s.a),
-         blabels AS (SELECT a AS doc_id, min(b) AS rep
-                     FROM breach GROUP BY a),
-         -- pexf is source-guarded EMPTY above budget; the probe needs
-         -- the hot-filtered postings exactly there, oppositely guarded
-         ipexf AS MATERIALIZED (
-           SELECT * FROM pex WHERE s NOT IN (SELECT s FROM phot)
-             AND (SELECT v FROM pspent) > 1000000000),
-         ibase AS (SELECT * FROM ipexf WHERE doc_id % 10 <> 0),
-         ibatch AS (SELECT * FROM ipexf WHERE doc_id % 10 = 0),
-         icross AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ibase a JOIN ibatch b ON a.s = b.s
-             AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n
-           GROUP BY 1, 2),
-         icrossp AS (SELECT doc_a, doc_b FROM icross
-                     WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         ibb AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
-                  any_value(a.n) AS na, any_value(b.n) AS nb
-           FROM ibatch a JOIN ibatch b ON a.s = b.s
-             AND a.doc_id < b.doc_id
-             AND a.n * 0.5 <= b.n AND b.n * 0.5 <= a.n
-           GROUP BY 1, 2),
-         ibatchp AS (SELECT doc_a, doc_b FROM ibb
-                     WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         iedges AS MATERIALIZED (
-           SELECT doc_id AS src, rep AS dst FROM blabels
-           UNION ALL SELECT doc_a, doc_b FROM icrossp
-           UNION ALL SELECT doc_a, doc_b FROM ibatchp),
-         isym AS MATERIALIZED (
-           SELECT src AS a, dst AS b FROM iedges
-           UNION SELECT dst, src FROM iedges
-           UNION SELECT src, src FROM iedges
-           UNION SELECT dst, dst FROM iedges),
-         ireach(a, b) AS (
-           SELECT a, b FROM isym
-           UNION
-           SELECT r.a, s.b FROM ireach r JOIN isym s ON r.b = s.a),
-         iclu AS (SELECT a AS doc_id, min(b) AS cluster_rep
-                  FROM ireach GROUP BY a),
-         ivert AS (SELECT DISTINCT v AS doc_id FROM (
-             SELECT src AS v FROM iedges WHERE src <> dst
-             UNION ALL SELECT dst FROM iedges WHERE src <> dst)),
-         iout AS (SELECT c.doc_id, c.cluster_rep
-                  FROM iclu c JOIN ivert USING (doc_id))
-         SELECT * FROM (SELECT * FROM fout UNION ALL SELECT * FROM iout)
-         ORDER BY doc_id"""),
+      """SELECT CAST(0 AS BIGINT) AS n_split_base_clusters,
+                CAST(0 AS BIGINT) AS n_inter_cluster_edges,
+                CAST(0 AS BIGINT) AS n_fixpoint_violations,
+                true AS refines_base,
+                true AS edges_intra,
+                true AS closure_fixpoint"""),
+
 
     // D67 — near-dup pair similarity histogram: pair counts per 0.05
     // Jaccard band — the threshold-tuning report read before committing
