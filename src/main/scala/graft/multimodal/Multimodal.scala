@@ -388,8 +388,9 @@ object Multimodal {
     // floor(x·1e4 + 0.5)/1e4 (exact: x·1e4 = sum·625/16 is an exact
     // double); feat = float32(sum)/255f — both single correctly-
     // rounded IEEE ops, bit-equal across engines. Per-blob work is
-    // O(1); there is no shuffle at all (decode is map-side, the
-    // explode is local) — at 100 TB this is a pure scan stage.
+    // O(1) and entirely map-side (decode + explode are local; the only
+    // exchanges are the gate output's orderBy) — at 100 TB the
+    // production stage is a pure scan.
     "image_features" -> graft.QueryDef(
       (s, d) => {
         import s.implicits._

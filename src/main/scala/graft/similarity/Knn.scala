@@ -80,12 +80,24 @@ object Knn {
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
 
   /** The EXACT within-label top-k graph — one equi-join shuffle on the
-    * label key plus a label-block-bounded window. This is knn_graph's
+    * label key plus a BOUNDED-HEAP top-k aggregate. This is knn_graph's
     * below-budget plan and the ground-truth twin every recall
     * measurement compares against; `queryFilter` restricts the QUERY
     * side (exact, not approximate: a query's rows depend only on its
     * own label block, so a filtered a-side computes exactly the full
     * graph's rows for those queries at a fraction of the cost).
+    *
+    * Round 12: the per-vector row_number window became
+    * [[graft.functions.TopKAgg.topK]] (score desc, payload asc — the
+    * IDENTICAL strict total order the window sorted by, so the
+    * selected rows are the same; knn_graph_block's row-level hash gate
+    * re-proves it at every SF). The window shuffled and sorted EVERY
+    * scored pair — Σ n_query_l·n_l rows, which at the sf100-shape
+    * 2M-vector twin is 4.1e9 rows ≈ 150 GB of sort spill (measured
+    * disk-filling this round); the aggregate folds scored pairs into
+    * per-vector k-entry buffers INSIDE the join stage and wires
+    * O(k) values per (vec, map task) — the same scale property the
+    * round-11 NN-descent merge rewrite bought.
     */
   def exactLabelGraph(e: DataFrame, k: Int,
       queryFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
@@ -94,15 +106,16 @@ object Knn {
     val a = queryFilter.map(aAll.filter).getOrElse(aAll)
     val b = e.select(col("label"), col("vec_id").as("neighbor_id"),
       col("embedding").as("b_emb"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, Seq("label"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorOps.cosine(col("a_emb"), col("b_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topK(
+        col("neighbor_id"), col("cosine"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.payload").as("neighbor_id"),
+        round(col("e.score"), 4).as("cosine"))
   }
 
   /** D54 core — the budget-dispatched k-NN graph. Below the ordered-
