@@ -93,6 +93,19 @@ object Bench {
       // The standard mitigation is a short periodic-GC interval — the
       // same setting a long-lived cluster driver would run with.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // The bounded-heap TypedImperativeAggregates (TopKAgg family:
+      // NN-descent's merge, the exact k-NN twin) run as
+      // ObjectHashAggregate, whose default sort-based fallback fires
+      // at 128 distinct groups per task — above it the partial agg
+      // external-SORTS its whole input, exactly the full-width
+      // shuffle/sort the aggregates exist to avoid (measured: 150 GB
+      // of sort insert at the 2M-vector exact twin). Buffers are O(k)
+      // primitives per group, so 10^4–10^6 hash-resident groups per
+      // task cost only kilobytes each; a cluster deployment sizes
+      // shuffle width so per-task group state fits, same as any
+      // hash-agg state.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footer caches so the first timed query

@@ -31,6 +31,19 @@ object KSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // the bounded-heap top-k aggregates keep thousands of tiny
+      // per-group buffers; the default sort-based fallback (128
+      // groups/task) would external-sort the full scored-pair input —
+      // measured 150 GB of sort insert at the 2M-vector twin. Buffers
+      // are O(k) values each, so holding ~10^4-10^5 groups per task in
+      // the hash map is kilobytes-per-group cheap (see Bench/Verify).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      // embeddings-only corpora are one ~0.5 GB parquet dir; the
+      // default 128 MB split gives the scoring join 4 scan tasks on a
+      // 32-thread box — split finer so the map-side cosine stage uses
+      // the machine
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

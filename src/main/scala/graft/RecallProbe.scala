@@ -46,6 +46,10 @@ object RecallProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // see Bench.scala: keep the bounded-heap aggregates on the hash
+      // path instead of the 128-group sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

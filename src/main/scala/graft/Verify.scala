@@ -24,6 +24,10 @@ object Verify {
       // see Bench.scala: without a periodic driver GC, dead shuffle
       // files accumulate across the 200+ query dumps at large SFs
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // see Bench.scala: keep the bounded-heap aggregates on the hash
+      // path instead of the 128-group sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
