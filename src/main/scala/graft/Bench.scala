@@ -93,19 +93,6 @@ object Bench {
       // The standard mitigation is a short periodic-GC interval — the
       // same setting a long-lived cluster driver would run with.
       .config("spark.cleaner.periodicGC.interval", "60s")
-      // The bounded-heap TypedImperativeAggregates (TopKAgg family:
-      // NN-descent's merge, the exact k-NN twin) run as
-      // ObjectHashAggregate, whose default sort-based fallback fires
-      // at 128 distinct groups per task — above it the partial agg
-      // external-SORTS its whole input, exactly the full-width
-      // shuffle/sort the aggregates exist to avoid (measured: 150 GB
-      // of sort insert at the 2M-vector exact twin). Buffers are O(k)
-      // primitives per group, so 10^4–10^6 hash-resident groups per
-      // task cost only kilobytes each; a cluster deployment sizes
-      // shuffle width so per-task group state fits, same as any
-      // hash-agg state.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footer caches so the first timed query
@@ -153,7 +140,15 @@ object Bench {
       taskCpuNs.set(0L)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // bounded-heap keys (TopKAgg family) get the object-hash
+        // fallback threshold raised for THIS query only — the 128-
+        // groups/task default external-sorts their whole partial-agg
+        // input (measured 150 GB at the 2M-vector exact twin), while a
+        // session-wide raise would strip the only spill backstop from
+        // the collect_list-heavy keys (round-12 advice item 1)
+        SparkEntry.withBoundedHeapConf(spark, name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListeners(spark.sparkContext)
         (wall, taskCpuNs.get() / 1e9)

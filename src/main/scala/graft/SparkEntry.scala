@@ -68,4 +68,40 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     catalog.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+
+  /** Catalog keys whose plans aggregate through the bounded-heap
+    * TypedImperativeAggregates (functions.TopKAgg family). These need
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` raised
+    * past its 128-groups/task default — the fallback external-SORTS the
+    * partial aggregation's whole input, the exact full-width sort the
+    * O(k) buffers exist to avoid (measured 150 GB of sort spill at the
+    * 2M-vector exact k-NN twin). The raise is SCOPED to these keys
+    * (round-12 advice): the threshold also governs every other
+    * ObjectHashAggregate, and for unbounded per-group state
+    * (collect_list/collect_set) the count threshold is the only spill
+    * backstop — session-wide it would let up to 1e6 arbitrary-size
+    * group buffers pin executor memory in the ~20 collect-heavy keys.
+    */
+  val boundedHeapKeys: Set[String] =
+    Set("topk_agg", "inverted_index", "knn_graph", "knn_graph_block")
+
+  /** Run `body` with the object-hash fallback threshold raised iff
+    * `name` is a bounded-heap key (see [[boundedHeapKeys]]); the
+    * previous session value is restored afterwards. The conf is a
+    * runtime SQLConf, so set/restore around the triggering action is
+    * race-free in the single-threaded Verify/Bench mains.
+    */
+  def withBoundedHeapConf[T](spark: SparkSession, name: String)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (!boundedHeapKeys(name)) body
+    else {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "1000000")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }

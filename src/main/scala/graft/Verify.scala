@@ -24,18 +24,25 @@ object Verify {
       // see Bench.scala: without a periodic driver GC, dead shuffle
       // files accumulate across the 200+ query dumps at large SFs
       .config("spark.cleaner.periodicGC.interval", "60s")
-      // see Bench.scala: keep the bounded-heap aggregates on the hash
-      // path instead of the 128-group sort-based fallback
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "1000000")
+      // scan-split knob so the big-corpus gate runs share KSweep's
+      // profile (embeddings-only corpora are one ~0.5 GB parquet dir;
+      // the 128 MB default gives the cosine stage 4 scan tasks on a
+      // 32-thread box) — default unchanged for the driver's runs
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // the object-hash fallback raise is scoped to the bounded-heap
+      // keys (round-12 advice): session-wide it would remove the only
+      // spill backstop under the collect_list/collect_set-heavy keys
+      try SparkEntry.withBoundedHeapConf(spark, name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -88,31 +88,62 @@ case class TopKByScore(
     copy(payload = cs(0), score = cs(1))
 }
 
-/** Bounded buffer: flat parallel arrays, replace-min on overflow.
+/** Bounded buffer: flat parallel arrays; unordered while filling, then
+  * a lazy binary min-heap with the WORST entry at the root (round-12
+  * verdict item 5 — the previous replace-min linear scan was O(k) per
+  * insert once full, O(n·k) compares per group at k = 1024; the heap
+  * is O(1) per rejected insert and O(log k) per accepted one).
   * Ordering: higher score wins; equal scores → smaller payload wins
-  * (deterministic across partitionings).
+  * (deterministic across partitionings). Selection is byte-identical
+  * to the scan version: (score desc, payload asc) is a strict total
+  * order on distinct entries, so the evicted worst is unique up to
+  * content-equal duplicates, and `sortedDesc` fully re-sorts.
   */
 final class TopKBuffer(val k: Int) {
   val payloads = new Array[Long](k)
   val scores = new Array[Double](k)
   var size = 0
+  private var heaped = false
 
   private def better(s1: Double, p1: Long, s2: Double, p2: Long): Boolean =
     s1 > s2 || (s1 == s2 && p1 < p2)
+
+  // entry i ranks strictly below entry j (i is the worse of the two)
+  private def worse(i: Int, j: Int): Boolean =
+    better(scores(j), payloads(j), scores(i), payloads(i))
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < size && worse(l, w)) w = l
+      if (r < size && worse(r, w)) w = r
+      if (w == i) done = true
+      else {
+        val tp = payloads(i); payloads(i) = payloads(w); payloads(w) = tp
+        val ts = scores(i); scores(i) = scores(w); scores(w) = ts
+        i = w
+      }
+    }
+  }
 
   def insert(p: Long, s: Double): Unit = {
     if (size < k) {
       payloads(size) = p; scores(size) = s; size += 1
     } else {
-      // find current worst
-      var worst = 0
-      var i = 1
-      while (i < size) {
-        if (better(scores(worst), payloads(worst), scores(i), payloads(i))) worst = i
-        i += 1
+      if (!heaped) {
+        var i = size / 2 - 1
+        while (i >= 0) { siftDown(i); i -= 1 }
+        heaped = true
       }
-      if (better(s, p, scores(worst), payloads(worst))) {
-        payloads(worst) = p; scores(worst) = s
+      // root = current worst; replace-and-sift only if the candidate
+      // strictly beats it
+      if (better(s, p, scores(0), payloads(0))) {
+        payloads(0) = p; scores(0) = s
+        siftDown(0)
       }
     }
   }
@@ -335,27 +366,53 @@ case class BottomKByLongKey(
     copy(payload = cs(0), key = cs(1))
 }
 
-/** Bounded buffer for [[BottomKByLongKey]]: smaller (key, payload) wins. */
+/** Bounded buffer for [[BottomKByLongKey]]: smaller (key, payload)
+  * wins. Same lazy worst-at-root heap as [[TopKBuffer]] (the
+  * replace-max scan was the identical O(n·k) pattern); selection is
+  * unchanged — (key asc, payload asc) is a strict total order.
+  */
 final class BottomKBuffer(val k: Int) {
   val payloads = new Array[Long](k)
   val keys = new Array[Long](k)
   var size = 0
+  private var heaped = false
 
   private def better(k1: Long, p1: Long, k2: Long, p2: Long): Boolean =
     k1 < k2 || (k1 == k2 && p1 < p2)
+
+  private def worse(i: Int, j: Int): Boolean =
+    better(keys(j), payloads(j), keys(i), payloads(i))
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < size && worse(l, w)) w = l
+      if (r < size && worse(r, w)) w = r
+      if (w == i) done = true
+      else {
+        val tp = payloads(i); payloads(i) = payloads(w); payloads(w) = tp
+        val tk = keys(i); keys(i) = keys(w); keys(w) = tk
+        i = w
+      }
+    }
+  }
 
   def insert(p: Long, kk: Long): Unit = {
     if (size < k) {
       payloads(size) = p; keys(size) = kk; size += 1
     } else {
-      var worst = 0
-      var i = 1
-      while (i < size) {
-        if (better(keys(worst), payloads(worst), keys(i), payloads(i))) worst = i
-        i += 1
+      if (!heaped) {
+        var i = size / 2 - 1
+        while (i >= 0) { siftDown(i); i -= 1 }
+        heaped = true
       }
-      if (better(kk, p, keys(worst), payloads(worst))) {
-        payloads(worst) = p; keys(worst) = kk
+      if (better(kk, p, keys(0), payloads(0))) {
+        payloads(0) = p; keys(0) = kk
+        siftDown(0)
       }
     }
   }

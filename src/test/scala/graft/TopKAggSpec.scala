@@ -69,6 +69,37 @@ class TopKAggSpec extends AnyFunSuite {
     assert(b.sortedAsc.toSeq == Seq(2L))
   }
 
+  test("TopKBuffer heap matches the full-sort reference at k=1024") {
+    // round-12 verdict item 5: the lazy worst-at-root heap must select
+    // the IDENTICAL set as a full sort at the k the old replace-min
+    // scan degraded at, across the fill→heapify transition and dense
+    // score ties (score quantized to 997 levels forces tie-breaking
+    // through the payload order)
+    val k = 1024
+    val rnd = new scala.util.Random(20260816L)
+    val b = new TopKBuffer(k)
+    val all = (0 until 50000).map { _ =>
+      (rnd.nextLong(), rnd.nextInt(997) / 996.0)
+    }
+    all.foreach { case (p, s) => b.insert(p, s) }
+    val expect = all
+      .sortWith((x, y) => x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+      .take(k)
+    assert(b.sortedDesc.toSeq == expect)
+  }
+
+  test("BottomKBuffer heap matches the full-sort reference at k=1024") {
+    val k = 1024
+    val rnd = new scala.util.Random(8102602L)
+    val b = new BottomKBuffer(k)
+    val all = (0 until 50000).map { i => (i.toLong, rnd.nextLong() >>> 16) }
+    all.foreach { case (p, kk) => b.insert(p, kk) }
+    val expect = all
+      .sortWith((x, y) => x._2 < y._2 || (x._2 == y._2 && x._1 < y._1))
+      .take(k).map(_._1)
+    assert(b.sortedAsc.toSeq == expect)
+  }
+
   // ---- serialize/deserialize round-trips ----------------------------
 
   test("TopKFreshByScore serialize/deserialize round-trips a full buffer") {

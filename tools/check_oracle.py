@@ -80,6 +80,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     # driver testdata is one file per table; GenScale-produced scale
     # steps are Spark-written DIRECTORIES named <t>.parquet
     p = Path(f"{sfdir}/{t}.parquet")
+    # partial corpora are legitimate (GenScaleVec writes embeddings
+    # only, GenScaleDocs documents only); DuckDB binds views EAGERLY,
+    # so creating a view over a missing file crashes the whole run
+    # before any query. Skip missing tables — a query that references
+    # one fails individually with a clear "table not found".
+    if not p.exists():
+        print(f"note: {t}.parquet absent under {sfdir} — view skipped",
+              flush=True)
+        continue
     src = f"{p}/*.parquet" if p.is_dir() else str(p)
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
@@ -154,8 +163,14 @@ if "--chain-cache" in sys.argv:
         _doc_dir = Path(sfdir) / "documents.parquet"
         _doc_files = sorted(_doc_dir.glob("*.parquet")) \
             if _doc_dir.is_dir() else [_doc_dir]
+        # embeddings-only corpora (GenScaleVec output) have no
+        # documents.parquet — an unconditional f.stat() crashed the
+        # cache-key computation (round-12 advice item 2); the chain
+        # consumers can't run there anyway, so an empty fingerprint is
+        # correct (their queries fail individually, later and clearly)
         _fp = ";".join(f"{f.name}:{f.stat().st_size}:"
-                       f"{f.stat().st_mtime_ns}" for f in _doc_files)
+                       f"{f.stat().st_mtime_ns}"
+                       for f in _doc_files if f.exists())
         _ck = _hl.md5((sfdir + "\0" + _fp + "\0" + canon)
                       .encode()).hexdigest()[:16]
         _cache_dir = _os.environ.get("GRAFT_CHAIN_CACHE_DIR")

@@ -52,11 +52,15 @@ for k in keys:
             # an OOM can also surface OUTSIDE check_oracle's per-query
             # try blocks (view setup, chain-cache materialization) as a
             # traceback on stderr with a nonzero exit — scan both
-            # streams, and retry a nonzero-exit/empty-stdout crash too
-            # (round-11 advice: those were recorded as plain FAILs)
-            oom = ("Out of Memory Error" in p.stdout
-                   or "Out of Memory Error" in p.stderr
-                   or (p.returncode != 0 and not p.stdout.strip()))
+            # streams. Only TRANSIENT signatures retry (round-12
+            # advice item 3): a blanket nonzero-exit/empty-stdout
+            # retry re-ran deterministic failures (bad SQL, missing
+            # corpus file) twice more at the full per-key timeout each.
+            transient = ("Out of Memory Error",
+                         "Failed to allocate",
+                         "MemoryError", "Killed", "std::bad_alloc")
+            oom = any(sig in p.stdout or sig in p.stderr
+                      for sig in transient)
             if not oom or attempt == 2:
                 break
             print(f"RETRY {k}: DuckDB OOM/crash (attempt {attempt + 1})",
