@@ -245,17 +245,60 @@ case class TopKFreshByScore(
     copy(payload = cs(0), score = cs(1), fresh = cs(2))
 }
 
-/** Bounded dedup-on-payload buffer for [[TopKFreshByScore]]. */
+/** Bounded dedup-on-payload buffer for [[TopKFreshByScore]]. Same lazy
+  * worst-at-root heap as [[TopKBuffer]], with one extra fast path the
+  * dedup semantics license: once full, a candidate scoring STRICTLY
+  * below the root cannot be a duplicate of any in-buffer payload
+  * (duplicates carry identical scores by the checked contract, and
+  * every in-buffer score is ≥ the root's), so it skips the O(k)
+  * payload scan entirely — the overwhelming majority of inserts in
+  * NN-descent's warm merge buffers. Candidates at or above the root
+  * score still scan (an equal-score entry elsewhere in the heap could
+  * be the same payload, whose flag must AND).
+  */
 final class TopKFreshBuffer(val k: Int) {
   val payloads = new Array[Long](k)
   val scores = new Array[Double](k)
   val flags = new Array[Boolean](k)
   var size = 0
+  private var heaped = false
 
   private def better(s1: Double, p1: Long, s2: Double, p2: Long): Boolean =
     s1 > s2 || (s1 == s2 && p1 < p2)
 
+  private def worse(i: Int, j: Int): Boolean =
+    better(scores(j), payloads(j), scores(i), payloads(i))
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < size && worse(l, w)) w = l
+      if (r < size && worse(r, w)) w = r
+      if (w == i) done = true
+      else {
+        val tp = payloads(i); payloads(i) = payloads(w); payloads(w) = tp
+        val ts = scores(i); scores(i) = scores(w); scores(w) = ts
+        val tf = flags(i); flags(i) = flags(w); flags(w) = tf
+        i = w
+      }
+    }
+  }
+
   def insert(p: Long, s: Double, f: Boolean): Unit = {
+    if (size == k) {
+      if (!heaped) {
+        var h = size / 2 - 1
+        while (h >= 0) { siftDown(h); h -= 1 }
+        heaped = true
+      }
+      // strict fast reject: below the root score it can neither enter
+      // the top-k nor duplicate an in-buffer payload (see class doc)
+      if (s < scores(0)) return
+    }
     var i = 0
     while (i < size) {
       if (payloads(i) == p) {
@@ -266,6 +309,9 @@ final class TopKFreshBuffer(val k: Int) {
         // graph — keep-first vs the old window's max(score) diverge
         // silently. NaN never qualifies as a score here (cosines are
         // finite by construction), so != is a faithful inequality.
+        // (The fast path above never hides a violating duplicate that
+        // matters: a violator rejected there is dominated by k better
+        // entries and could not have changed the selection.)
         if (scores(i) != s)
           throw new IllegalStateException(
             s"TopKFreshByScore contract violation: payload $p seen " +
@@ -273,22 +319,17 @@ final class TopKFreshBuffer(val k: Int) {
               "must carry identical scores (deterministic score " +
               "expression required)")
         if (!f) flags(i) = false
+        // a flag-AND never changes (score, payload), so heap order is
+        // untouched
         return
       }
       i += 1
     }
     if (size < k) {
       payloads(size) = p; scores(size) = s; flags(size) = f; size += 1
-    } else {
-      var worst = 0
-      var j = 1
-      while (j < size) {
-        if (better(scores(worst), payloads(worst), scores(j), payloads(j))) worst = j
-        j += 1
-      }
-      if (better(s, p, scores(worst), payloads(worst))) {
-        payloads(worst) = p; scores(worst) = s; flags(worst) = f
-      }
+    } else if (better(s, p, scores(0), payloads(0))) {
+      payloads(0) = p; scores(0) = s; flags(0) = f
+      siftDown(0)
     }
   }
 

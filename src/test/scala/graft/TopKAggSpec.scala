@@ -100,6 +100,27 @@ class TopKAggSpec extends AnyFunSuite {
     assert(b.sortedAsc.toSeq == expect)
   }
 
+  test("TopKFreshBuffer heap+fast-reject matches the dedup-sort reference") {
+    // dup-heavy contract-honoring stream (payload determines score, so
+    // duplicates always carry identical scores): the kept set must be
+    // the deduped top-k by (score desc, payload asc) with AND'd flags,
+    // for sizes spanning the fill→heapify transition and k=1024
+    for (k <- Seq(3, 48, 1024)) {
+      val rnd = new scala.util.Random(k * 7919L)
+      val b = new TopKFreshBuffer(k)
+      val n = 30000
+      val stream = (0 until n).map { _ =>
+        val p = rnd.nextInt(2000).toLong // dense payload collisions
+        (p, ((p * 2654435761L) % 9973L).toDouble / 9973.0, rnd.nextBoolean())
+      }
+      stream.foreach { case (p, s, f) => b.insert(p, s, f) }
+      val expect = stream.groupBy(_._1).map { case (p, es) =>
+        (p, es.head._2, es.forall(_._3))
+      }.toSeq.sortBy(e => (-e._2, e._1)).take(k)
+      assert(b.sortedDesc.toSeq == expect)
+    }
+  }
+
   // ---- serialize/deserialize round-trips ----------------------------
 
   test("TopKFreshByScore serialize/deserialize round-trips a full buffer") {
