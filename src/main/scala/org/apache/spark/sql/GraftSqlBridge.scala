@@ -18,4 +18,31 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a materialized (localCheckpoint'd) DataFrame as a fresh
+    * `LogicalRDD` WITHOUT the inherited `originStats`.
+    *
+    * Why this exists (round-13 scale finding): `Dataset.localCheckpoint`
+    * truncates the logical plan but PRESERVES the child plan's computed
+    * `Statistics` on the replacement `LogicalRDD` (so broadcast
+    * decisions survive checkpointing). In an iterative algorithm whose
+    * per-round plan self-joins the previous round's checkpoint, the
+    * inherited `sizeInBytes` BigInts MULTIPLY — the bit-length of the
+    * statistic DOUBLES per round, and by round ~20 the driver spends
+    * tens of minutes per round inside `BigInteger.multiplyToomCook3`
+    * computing 10⁷-bit "row count estimates" during planning (observed
+    * live on NN-descent round 22 at a 218k-vector block: the main
+    * thread pinned in ToomCook3 while 31 executor threads idled).
+    * Detaching the stats resets the estimate to the conservative
+    * session default — which for a frame that must never be broadcast
+    * is also the CORRECT planning input. Execution is untouched: the
+    * returned frame scans the identical materialized RDD.
+    */
+  def detachStats(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = classicDf.sparkSession
+    val qe = classicDf.queryExecution
+    val plan = execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(spark)
+    classic.Dataset.ofRows(spark, plan)
+  }
 }
