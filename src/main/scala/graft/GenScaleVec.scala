@@ -75,6 +75,16 @@ object GenScaleVec {
       case Some(ls) => embsAll.filter(e => ls.contains(e.label))
       case None     => embsAll
     }
+    // empty-source guard (round-13 advice item 4): a label filter that
+    // matches nothing (or an empty source) otherwise surfaces as a bare
+    // NoSuchElementException from head() two jobs later, with no hint
+    // that the label set was wrong
+    val first = embs.take(1)
+    require(first.nonEmpty,
+      s"no embeddings in $src/embeddings.parquet" +
+        labelKeep.map(ls =>
+          s" after --labels=${ls.toSeq.sorted.mkString(",")} " +
+            "(check the label set against the source)").getOrElse(""))
     // id-offset collision guard (round-12 advice item 4): re-running
     // the scaler on its own output (vec_ids already ≥ OFF) would emit
     // duplicate vec_ids carrying DIFFERENT embeddings — a silently
@@ -85,7 +95,7 @@ object GenScaleVec {
       s"source max vec_id = $maxId >= $OFF: the per-copy id offset " +
         "would collide — scale from an ORIGINAL testdata directory, " +
         "not from already-scaled output")
-    val dim = embs.head().embedding.length
+    val dim = first.head.embedding.length
     if (!decorrelate && copies > dim)
       System.err.println(s"[genscalevec] WARNING: $copies copies > $dim " +
         "dims — the plain rotation repeats with period " + dim +

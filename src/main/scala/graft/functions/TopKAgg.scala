@@ -171,6 +171,18 @@ final class TopKBuffer(val k: Int) {
   * order; an entry evicted from any partial buffer is dominated by k
   * better entries that all reach the final merge, hence never in the
   * true top-k — its possibly-lost flag is irrelevant.
+  *
+  * Contract enforcement is PARTIAL since the round-13 heap rewrite
+  * (documented trade, round-13 advice item 3): the identical-score
+  * rule is checked by an IllegalStateException whenever a duplicate
+  * payload is actually scanned, but the full buffer's strict fast
+  * reject skips the scan for candidates scoring below the root — a
+  * nondeterministic score expression whose divergent copy lands below
+  * the root escapes detection there. SELECTION is provably unaffected
+  * (a candidate rejected on score is dominated by k better entries
+  * either way); the check is a debugging aid that fires on the first
+  * violating copy that reaches a scan, not a guarantee of catching
+  * every violation.
   */
 case class TopKFreshByScore(
     payload: Expression,

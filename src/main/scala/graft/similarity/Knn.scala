@@ -146,6 +146,156 @@ object Knn {
     }
   }
 
+  /** Escalation outcome of [[graphTopKEscalating]]'s recall guard —
+    * driver-side metadata for logs/specs; the graph itself is the
+    * returned DataFrame.
+    */
+  final case class EscalationInfo(
+      kInitial: Int, kRung: Int,
+      initialRecall: Double, finalRecall: Double,
+      failingLabels: Seq[Long], exactLabels: Seq[Long],
+      rungLabels: Seq[Long])
+
+  /** [[graphTopKEscalating]]'s result: the final graph, the
+    * localCheckpoint'd exact probe sample (vec_id, neighbor_id) when
+    * the approximate branch ran (None on the lossless exact branch —
+    * recall is identically 1 there), and the escalation report when
+    * the recall guard fired.
+    */
+  final case class GraphResult(
+      graph: DataFrame,
+      probeSample: Option[DataFrame],
+      escalation: Option[EscalationInfo])
+
+  /** The next kInternal rung of the K-law ladder: ×4/3 rounded up
+    * (30 → 40, 39 → 52, 48 → 64 — the rung spacing the KSWEEP
+    * calibration artifacts measured). Cost grows ~K² per NN-descent
+    * round, so one rung is a bounded ~1.8× retry, not a blow-up.
+    */
+  def nextKRung(k: Int): Int =
+    math.max(k + 1, math.ceil(k * 4.0 / 3.0).toInt)
+
+  /** D54 production dispatcher — [[graphTopK]] plus a SELF-HEALING
+    * recall guard (round-13 verdict item 2). The in-plan recall_ok
+    * gate turns a structure-free corpus (the KSWEEP_SF100D1 worst
+    * case: converged K=48 recall@3 = 0.8586 on decorrelated 218k
+    * blocks) into a loud failure, but a 100 TB pipeline operator
+    * wants an escalation policy, not just an abort. Here the
+    * dispatcher PROBES the approximate graph against the exact
+    * 1-in-`sampleMod` sample (the same deterministic sample the gate
+    * hashes), and for each label block whose sampled recall falls
+    * below `recallTarget`:
+    *
+    *  - blocks whose ordered-pair mass n·(n−1) fits `fallbackBudget`
+    *    are re-routed to the lossless exact within-label join
+    *    (affordable by construction — that budget is the same scale
+    *    the below-budget dispatch path already runs);
+    *  - bigger blocks are re-run through NN-descent at the next
+    *    K rung ([[nextKRung]]; 48 → 64 at the sf100 decade), the
+    *    bounded ~(4/3)² ≈ 1.8× retry the KSweep trend calibrates.
+    *
+    * Passing blocks keep their round-1 edges — only the failing
+    * blocks pay the retry (blocks are independent in both NN-descent
+    * and the exact twin, so a per-block splice is exact). Everything
+    * stays deterministic: the sample, the per-label recalls, the
+    * routing and the rung are all pure functions of the corpus. The
+    * escalation is logged loudly either way; if the rung retry STILL
+    * probes below target the final graph is returned with the
+    * measured recall in the report (and the downstream hash gate
+    * fails as before — the guard never silently accepts).
+    *
+    * Per-label driver state is bounded: `label` is the corpus's
+    * class dimension (10-ish values at every shipped SF), not a
+    * data-scale dimension; a 10k-label guard fails loudly rather
+    * than collect an unbounded map.
+    *
+    * On corpora below `budget` the exact branch returns untouched
+    * (no probe — the graph IS the ground truth); on approximate
+    * corpora that pass the probe (every real corpus family measured
+    * so far: sf1 0.9968, sf10 0.9808-shape, sf100b 1.0000) the only
+    * added cost is the probe itself — which the knn_graph gate
+    * previously computed anyway, and now REUSES via `probeSample`
+    * instead of re-deriving plan-side.
+    */
+  def graphTopKEscalating(e: DataFrame, k: Int, budget: Long = 20000000L,
+      kInternal: Int = 0, recallTarget: Double = 0.9,
+      sampleMod: Long = 100L,
+      fallbackBudget: Long = 20000000L): GraphResult = {
+    val labelRows = e.groupBy("label").agg(count(lit(1)).as("n")).take(10001)
+    require(labelRows.length <= 10000,
+      "graphTopKEscalating: >10000 distinct labels — label must be a " +
+        "bounded class dimension for per-block escalation")
+    val ns = labelRows.map(r => r.getAs[Number]("label").longValue() ->
+      r.getAs[Long]("n")).toMap
+    val spent = ns.valuesIterator.map(n => n * (n - 1L)).sum
+    if (spent <= budget)
+      return GraphResult(exactLabelGraph(e, k), None, None)
+
+    val nbar = if (ns.isEmpty) 0.0 else ns.valuesIterator.sum.toDouble / ns.size
+    val kInt = if (kInternal > 0) kInternal else autoKInternal(nbar)
+    val g0 = NnDescent.knnGraph(e, k, kInt) // localCheckpoint'd inside
+
+    // probe: the exact graph restricted to the deterministic
+    // 1-in-sampleMod query sample — exact for those queries at
+    // 1/sampleMod of the quadratic — tagged with each query's label
+    val labelOf = e.select(col("vec_id"), col("label"))
+    val qf = pmod(col("vec_id"), lit(sampleMod)) === 0L
+    val samp = exactLabelGraph(e, k, Some(qf))
+      .select("vec_id", "neighbor_id")
+      .join(labelOf, "vec_id")
+      .localCheckpoint()
+    def recallByLabel(g: DataFrame): Map[Long, (Long, Long)] =
+      samp.join(
+          g.select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("vec_id", "neighbor_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("ns"),
+          coalesce(sum(col("hit")), lit(0L)).as("nh"))
+        .collect()
+        .map(r => r.getAs[Number]("label").longValue() ->
+          (r.getAs[Long]("ns"), r.getAs[Long]("nh"))).toMap
+    def overall(m: Map[Long, (Long, Long)]): Double = {
+      val s = m.valuesIterator.map(_._1).sum
+      if (s == 0L) 1.0 else m.valuesIterator.map(_._2).sum.toDouble / s
+    }
+    val probe0 = recallByLabel(g0)
+    val r0 = overall(probe0)
+    val failing = probe0.collect {
+      case (l, (s0, h0)) if s0 > 0 && h0.toDouble / s0 < recallTarget => l
+    }.toSeq.sorted
+    if (failing.isEmpty)
+      return GraphResult(g0, Some(samp.select("vec_id", "neighbor_id")), None)
+
+    val (exactLabels, rungLabels) =
+      failing.partition(l => ns(l) * (ns(l) - 1L) <= fallbackBudget)
+    val kRung = nextKRung(kInt)
+    System.err.println(s"[graft] knn_graph recall escalation: sampled " +
+      f"recall $r0%.4f < $recallTarget%.2f on labels " +
+      s"${failing.mkString(",")} at kInternal=$kInt — re-routing " +
+      s"${exactLabels.mkString(",")} to the exact twin and " +
+      s"${rungLabels.mkString(",")} to NN-descent at kInternal=$kRung")
+    val gL = g0.join(labelOf, "vec_id")
+    var parts = List(
+      gL.filter(!col("label").isin(failing: _*))
+        .select("vec_id", "rank", "neighbor_id", "cosine"))
+    if (exactLabels.nonEmpty)
+      parts :+= exactLabelGraph(
+        e.filter(col("label").isin(exactLabels: _*)), k)
+    if (rungLabels.nonEmpty)
+      parts :+= NnDescent.knnGraph(
+        e.filter(col("label").isin(rungLabels: _*)), k, kRung)
+    val g1 = parts.reduce(_.union(_))
+    val r1 = overall(recallByLabel(g1))
+    val info = EscalationInfo(kInt, kRung, r0, r1,
+      failing, exactLabels, rungLabels)
+    System.err.println(f"[graft] knn_graph escalation result: recall " +
+      f"$r0%.4f -> $r1%.4f" +
+      (if (r1 < recallTarget) " — STILL BELOW TARGET (the downstream " +
+        "recall gate will fail; raise kInternal or the fallback budget)"
+       else ""))
+    GraphResult(g1, Some(samp.select("vec_id", "neighbor_id")), Some(info))
+  }
+
   /** Auto-scaled NN-descent list width (round-10 verdict item 1).
     * At FIXED kInternal = 30 the measured recall@3 declines with the
     * label-block size — 1.0000 at n̄ ≈ 2 180 (sf1), 0.9131 at
@@ -254,13 +404,22 @@ object Knn {
     // lives in RECALL_SF10.json (graft.RecallProbe).
     // Below budget the dispatched graph IS the exact twin and the
     // recall term is identically 1.
+    // Round 14: the entry dispatches through graphTopKEscalating —
+    // on recall_ok=false geometry the operator now self-heals
+    // per label block (exact twin under the pair budget, next K rung
+    // above it) instead of only failing the gate; the gate then
+    // re-measures the FINAL graph, reusing the dispatcher's
+    // checkpointed probe sample (one exact-sample evaluation total,
+    // vs two plan-side evaluations before).
     "knn_graph" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val g = graphTopK(e, 3)
+        val res = graphTopKEscalating(e, 3)
+        val g = res.graph
         val qf = pmod(col("vec_id"), lit(100L)) === 0L
-        val exactSample = exactLabelGraph(e, 3, Some(qf))
-          .select("vec_id", "neighbor_id")
+        val exactSample = res.probeSample.getOrElse(
+          exactLabelGraph(e, 3, Some(qf))
+            .select("vec_id", "neighbor_id"))
         val hits = exactSample
           .join(g.select("vec_id", "neighbor_id"),
             Seq("vec_id", "neighbor_id"), "left_semi")

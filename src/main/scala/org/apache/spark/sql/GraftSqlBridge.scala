@@ -42,7 +42,20 @@ object GraftSqlBridge {
     val classicDf = df.asInstanceOf[classic.Dataset[Row]]
     val spark = classicDf.sparkSession
     val qe = classicDf.queryExecution
-    val plan = execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(spark)
+    // keep the checkpoint's physical partitioning/ordering (round-13
+    // advice): localCheckpoint's own LogicalRDD carries them so a
+    // downstream groupBy/window on the same keys can reuse the
+    // materialized layout instead of re-shuffling; dropping ONLY the
+    // stats is the point of this bridge. The checkpointed plan IS a
+    // LogicalRDD whose output attributes are qe.analyzed.output, so
+    // its partitioning expressions transfer without an attr rewrite.
+    val (part, ord) = qe.analyzed match {
+      case l: execution.LogicalRDD => (l.outputPartitioning, l.outputOrdering)
+      case _ =>
+        (catalyst.plans.physical.UnknownPartitioning(0),
+          Seq.empty[catalyst.expressions.SortOrder])
+    }
+    val plan = execution.LogicalRDD(qe.analyzed.output, qe.toRdd, part, ord)(spark)
     classic.Dataset.ofRows(spark, plan)
   }
 }

@@ -58,9 +58,14 @@ for k in keys:
             # corpus file) twice more at the full per-key timeout each.
             transient = ("Out of Memory Error",
                          "Failed to allocate",
-                         "MemoryError", "Killed", "std::bad_alloc")
-            oom = any(sig in p.stdout or sig in p.stderr
-                      for sig in transient)
+                         "MemoryError", "std::bad_alloc")
+            # signal death (kernel OOM-kill = -SIGKILL = -9) is also
+            # transient: subprocess.run has no shell, so the familiar
+            # 'Killed' text never reaches either captured stream — the
+            # old text signature could not match (round-13 advice)
+            oom = (p.returncode < 0
+                   or any(sig in p.stdout or sig in p.stderr
+                          for sig in transient))
             if not oom or attempt == 2:
                 break
             print(f"RETRY {k}: DuckDB OOM/crash (attempt {attempt + 1})",
