@@ -49,7 +49,15 @@ object GenSlice {
     spark.read.parquet(s"$src/documents.parquet")
       .filter(col("doc_id") % m === 0)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    spark.read.parquet(s"$src/embeddings.parquet")
+    // documents-only scale corpora (GenScaleDocs output, e.g.
+    // data/sf20docs) carry no embeddings table; fall back to the
+    // small-tables source so the standard harness still registers all
+    // ten views — the slice is only meant for documents-family keys
+    val embSrc =
+      if (new java.io.File(s"$src/embeddings.parquet").exists()) src
+      else { println(s"[genslice] no embeddings in $src - copying " +
+               s"from $smallSrc"); smallSrc }
+    spark.read.parquet(s"$embSrc/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     println(s"[genslice] documents: " +
       s"${spark.read.parquet(s"$dst/documents.parquet").count()} rows " +
