@@ -20,8 +20,8 @@ import graft.QueryDef
   */
 object Ivf {
 
-  def index(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-      maxTrain: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
+  private def fitModel(corpus: DataFrame, nlist: Int, seed: Long,
+      maxTrain: Long): org.apache.spark.ml.clustering.KMeansModel = {
     // array<float> → ml Vector via the built-in converter (handles
     // float arrays natively, no Seq boxing; last UDF in main removed
     // per round-7 verdict item 6)
@@ -30,13 +30,28 @@ object Ivf {
     // the quantizer only needs a representative SAMPLE: at corpus scale
     // fitting k-means on all vectors is a full multi-pass scan for no
     // recall gain. Cap the training set at maxTrain rows (deterministic
-    // seed); assignment below still covers the full corpus. The test
+    // seed); assignment still covers the full corpus. The test
     // corpora are below the cap, so fit sees every row there.
     val n = feat.count()
     val train = if (n <= maxTrain) feat
       else feat.sample(withReplacement = false, maxTrain.toDouble / n, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
+    new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+  }
+
+  /** Centers only — the coarse-quantizer half of the index, reused by
+    * [[Knn.graphTopKQuantized]]'s unlabeled-corpus blocking mode
+    * (round-15 item 4): blocking needs the centroids to assign
+    * against scan-side, not the transform()'d assignment frame.
+    */
+  def quantizer(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrain: Long = 100000L): Array[Array[Double]] =
+    fitModel(corpus, nlist, seed, maxTrain).clusterCenters.map(_.toArray)
+
+  def index(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+      maxTrain: Long = 100000L): (DataFrame, Array[Array[Double]]) = {
+    val model = fitModel(corpus, nlist, seed, maxTrain)
+    val feat = corpus.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "list_id")
       .drop("features")

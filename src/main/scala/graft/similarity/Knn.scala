@@ -148,24 +148,86 @@ object Knn {
 
   /** Escalation outcome of [[graphTopKEscalating]]'s recall guard —
     * driver-side metadata for logs/specs; the graph itself is the
-    * returned DataFrame.
+    * returned DataFrame. `kRung` is the FIRST ladder rung
+    * ([[nextKRung]] of the initial width); `rungsTried` lists every
+    * NN-descent rung that actually fired, in order (empty when all
+    * failing blocks were exact-routed); `budgetExhausted` is true iff
+    * the ladder stopped because the next rung's work would overrun
+    * the cumulative rung-work budget while blocks still probed below
+    * target.
     */
   final case class EscalationInfo(
       kInitial: Int, kRung: Int,
       initialRecall: Double, finalRecall: Double,
       failingLabels: Seq[Long], exactLabels: Seq[Long],
-      rungLabels: Seq[Long])
+      rungLabels: Seq[Long],
+      rungsTried: Seq[Int] = Nil,
+      budgetExhausted: Boolean = false)
 
   /** [[graphTopKEscalating]]'s result: the final graph, the
     * localCheckpoint'd exact probe sample (vec_id, neighbor_id) when
     * the approximate branch ran (None on the lossless exact branch —
-    * recall is identically 1 there), and the escalation report when
-    * the recall guard fired.
+    * recall is identically 1 there), the escalation report when the
+    * recall guard fired, and the sampleMod the probe/gate actually
+    * used (derived from the probe-mass budget unless pinned by the
+    * caller — the gate's fallback sample and the DuckDB oracle must
+    * use the SAME modulus).
     */
+  /** [[graphTopKQuantized]]'s report: the derived cell count, the
+    * per-cell NN-descent width, the quantized graph's measured sampled
+    * recall vs GLOBAL (true-label) exact truth, and whether the guard
+    * escalated to the unblocked proven construction.
+    */
+  final case class QuantizeInfo(
+      nlist: Int, kCell: Int, quantizedRecall: Double,
+      escalatedToGlobal: Boolean)
+
   final case class GraphResult(
       graph: DataFrame,
       probeSample: Option[DataFrame],
-      escalation: Option[EscalationInfo])
+      escalation: Option[EscalationInfo],
+      sampleModUsed: Long = 100L,
+      quantize: Option[QuantizeInfo] = None)
+
+  /** Ordered-pair-mass budget for the recall PROBE (round-14 verdict
+    * item 1 of round 15): the probe runs [[exactLabelGraph]] restricted
+    * to 1-in-`sampleMod` queries, so its pair mass is
+    * Σ n_l·(n_l−1) / sampleMod ≈ spent / sampleMod. A FIXED-fraction
+    * mod (the old `% 100`) keeps that quadratic — n²/100 — and one
+    * decade past the proven sf100 shape the GUARD dominates the
+    * construction it guards. This knob caps the probe's pair mass the
+    * same way SPARK_GRAFT_WINDOW_MASS_BUDGET caps the containment
+    * window grid: [[autoSampleMod]] scales the modulus so
+    * spent / mod ≤ budget. Default 5e9 ordered pairs — the scale the
+    * sf100-shape exact probe already ran (9.5e10 / 100 ≈ 9.5e8), with
+    * headroom; at every proven SF through sf100 the derived mod is
+    * exactly the historical 100, so all committed gate rows are
+    * unchanged, while a decade up (spent ≈ 9.5e12) the mod grows to
+    * 1 901 and the probe mass stays 5e9 instead of 9.5e10.
+    */
+  def probeMassBudget: Long =
+    sys.env.get("SPARK_GRAFT_PROBE_MASS_BUDGET").map(_.toLong)
+      .getOrElse(5000000000L)
+
+  /** The fixed-COUNT probe modulus: smallest power-free mod ≥ 100 that
+    * keeps the probe's ordered-pair mass spent/mod under the budget.
+    * Pure function of (corpus pair mass, budget) — replicated verbatim
+    * in the knn_graph oracle's `sm` CTE so both engines sample the
+    * same 1-in-mod queries.
+    */
+  def autoSampleMod(spent: Long, budget: Long = probeMassBudget): Long =
+    math.max(100L, math.ceil(spent.toDouble / budget).toLong)
+
+  /** Cumulative rung-work budget multiplier for the escalation ladder:
+    * rung retries may spend up to `factor ×` the INITIAL construction's
+    * work (n_total · K₀², the NN-descent per-vector cost model) before
+    * the ladder stops loudly. 4.0 admits exactly one full-corpus rung
+    * at the calibrated ×4/3 spacing ((4/3)² ≈ 1.78 < 4) plus a second
+    * when the failing mass is a minority of the corpus.
+    */
+  def rungWorkFactor: Double =
+    sys.env.get("SPARK_GRAFT_RUNG_WORK_FACTOR").map(_.toDouble)
+      .getOrElse(4.0)
 
   /** The next kInternal rung of the K-law ladder: ×4/3 rounded up
     * (30 → 40, 39 → 52, 48 → 64 — the rung spacing the KSWEEP
@@ -182,17 +244,24 @@ object Knn {
     * blocks) into a loud failure, but a 100 TB pipeline operator
     * wants an escalation policy, not just an abort. Here the
     * dispatcher PROBES the approximate graph against the exact
-    * 1-in-`sampleMod` sample (the same deterministic sample the gate
-    * hashes), and for each label block whose sampled recall falls
-    * below `recallTarget`:
+    * 1-in-mod sample (the same deterministic sample the gate hashes;
+    * round 15: the modulus is FIXED-COUNT — derived from the
+    * probe-mass budget via [[autoSampleMod]] unless pinned by
+    * `sampleMod` > 0 — so the guard's own pair mass is bounded
+    * instead of quadratic), and for each label block whose sampled
+    * recall falls below `recallTarget`:
     *
     *  - blocks whose ordered-pair mass n·(n−1) fits `fallbackBudget`
     *    are re-routed to the lossless exact within-label join
     *    (affordable by construction — that budget is the same scale
     *    the below-budget dispatch path already runs);
-    *  - bigger blocks are re-run through NN-descent at the next
-    *    K rung ([[nextKRung]]; 48 → 64 at the sf100 decade), the
-    *    bounded ~(4/3)² ≈ 1.8× retry the KSweep trend calibrates.
+    *  - bigger blocks CLIMB the NN-descent K ladder ([[nextKRung]],
+    *    ×4/3 per rung: 48 → 64 → 86 at the sf100 decade; round 15
+    *    looped): after each rung the probe re-measures and only
+    *    still-failing blocks climb further, while the cumulative rung
+    *    work Σ n_l·K² stays within `rungFactor ×` the initial build's
+    *    n_total·K₀² ([[rungWorkFactor]]; exceeding it stops the
+    *    ladder loudly with `budgetExhausted` in the report).
     *
     * Passing blocks keep their round-1 edges — only the failing
     * blocks pay the retry (blocks are independent in both NN-descent
@@ -219,8 +288,10 @@ object Knn {
     */
   def graphTopKEscalating(e: DataFrame, k: Int, budget: Long = 20000000L,
       kInternal: Int = 0, recallTarget: Double = 0.9,
-      sampleMod: Long = 100L,
-      fallbackBudget: Long = 20000000L): GraphResult = {
+      sampleMod: Long = 0L,
+      fallbackBudget: Long = 20000000L,
+      rungFactor: Double = -1.0,
+      preSample: Option[DataFrame] = None): GraphResult = {
     val labelRows = e.groupBy("label").agg(count(lit(1)).as("n")).take(10001)
     require(labelRows.length <= 10000,
       "graphTopKEscalating: >10000 distinct labels — label must be a " +
@@ -228,20 +299,32 @@ object Knn {
     val ns = labelRows.map(r => r.getAs[Number]("label").longValue() ->
       r.getAs[Long]("n")).toMap
     val spent = ns.valuesIterator.map(n => n * (n - 1L)).sum
+    // fixed-COUNT probe (round-15 item 1): the modulus scales with the
+    // corpus's pair mass so the probe's own pair mass stays bounded by
+    // the probe budget instead of growing as n²/100 — 0 = derive
+    val mod = if (sampleMod > 0L) sampleMod else autoSampleMod(spent)
+    if (sampleMod <= 0L && mod > 100L)
+      System.err.println(s"[graft] knn_graph probe: pair mass $spent " +
+        s"over probe budget ${probeMassBudget} at mod 100 — sampleMod " +
+        s"auto-scaled to $mod (probe mass ${spent / mod})")
     if (spent <= budget)
-      return GraphResult(exactLabelGraph(e, k), None, None)
+      return GraphResult(exactLabelGraph(e, k), None, None, mod)
 
-    val nbar = if (ns.isEmpty) 0.0 else ns.valuesIterator.sum.toDouble / ns.size
+    val nTotal = ns.valuesIterator.sum
+    val nbar = if (ns.isEmpty) 0.0 else nTotal.toDouble / ns.size
     val kInt = if (kInternal > 0) kInternal else autoKInternal(nbar)
     val g0 = NnDescent.knnGraph(e, k, kInt) // localCheckpoint'd inside
 
     // probe: the exact graph restricted to the deterministic
-    // 1-in-sampleMod query sample — exact for those queries at
-    // 1/sampleMod of the quadratic — tagged with each query's label
+    // 1-in-mod query sample — exact for those queries at 1/mod of the
+    // quadratic — tagged with each query's label
     val labelOf = e.select(col("vec_id"), col("label"))
-    val qf = pmod(col("vec_id"), lit(sampleMod)) === 0L
-    val samp = exactLabelGraph(e, k, Some(qf))
-      .select("vec_id", "neighbor_id")
+    val qf = pmod(col("vec_id"), lit(mod)) === 0L
+    // preSample lets graphTopKQuantized's failed-guard fallback hand
+    // over its already-checkpointed exact sample (the probe is the
+    // expensive part of the guard — never pay it twice)
+    val samp = preSample.getOrElse(
+        exactLabelGraph(e, k, Some(qf)).select("vec_id", "neighbor_id"))
       .join(labelOf, "vec_id")
       .localCheckpoint()
     def recallByLabel(g: DataFrame): Map[Long, (Long, Long)] =
@@ -258,43 +341,284 @@ object Knn {
       val s = m.valuesIterator.map(_._1).sum
       if (s == 0L) 1.0 else m.valuesIterator.map(_._2).sum.toDouble / s
     }
-    val probe0 = recallByLabel(g0)
-    val r0 = overall(probe0)
-    val failing = probe0.collect {
+    def failingOf(m: Map[Long, (Long, Long)]): Seq[Long] = m.collect {
       case (l, (s0, h0)) if s0 > 0 && h0.toDouble / s0 < recallTarget => l
     }.toSeq.sorted
-    if (failing.isEmpty)
-      return GraphResult(g0, Some(samp.select("vec_id", "neighbor_id")), None)
+    val probe0 = recallByLabel(g0)
+    val r0 = overall(probe0)
+    val failing0 = failingOf(probe0)
+    if (failing0.isEmpty)
+      return GraphResult(g0, Some(samp.select("vec_id", "neighbor_id")),
+        None, mod)
 
+    // ---- escalation ladder (round-15 item 5: LOOP the rungs) ----
+    // blocks under the fallback pair budget re-route ONCE to the
+    // lossless exact twin (recall identically 1 — they cannot re-fail);
+    // bigger blocks climb the ×4/3 K ladder while the probe still
+    // fails AND the cumulative rung work (Σ n_l·K², the NN-descent
+    // per-vector cost model) fits `rungFactor ×` the initial build's
+    // n_total·K₀². Deterministic: routing, rungs and the stop are pure
+    // functions of the corpus and the knobs.
     val (exactLabels, rungLabels) =
-      failing.partition(l => ns(l) * (ns(l) - 1L) <= fallbackBudget)
-    val kRung = nextKRung(kInt)
+      failing0.partition(l => ns(l) * (ns(l) - 1L) <= fallbackBudget)
+    val kRung0 = nextKRung(kInt)
+    val factor = if (rungFactor > 0) rungFactor else rungWorkFactor
+    val workBudget = factor * nTotal.toDouble * kInt.toDouble * kInt
     System.err.println(s"[graft] knn_graph recall escalation: sampled " +
       f"recall $r0%.4f < $recallTarget%.2f on labels " +
-      s"${failing.mkString(",")} at kInternal=$kInt — re-routing " +
+      s"${failing0.mkString(",")} at kInternal=$kInt — re-routing " +
       s"${exactLabels.mkString(",")} to the exact twin and " +
-      s"${rungLabels.mkString(",")} to NN-descent at kInternal=$kRung")
-    val gL = g0.join(labelOf, "vec_id")
-    var parts = List(
-      gL.filter(!col("label").isin(failing: _*))
-        .select("vec_id", "rank", "neighbor_id", "cosine"))
-    if (exactLabels.nonEmpty)
-      parts :+= exactLabelGraph(
-        e.filter(col("label").isin(exactLabels: _*)), k)
-    if (rungLabels.nonEmpty)
-      parts :+= NnDescent.knnGraph(
-        e.filter(col("label").isin(rungLabels: _*)), k, kRung)
-    val g1 = parts.reduce(_.union(_))
-    val r1 = overall(recallByLabel(g1))
-    val info = EscalationInfo(kInt, kRung, r0, r1,
-      failing, exactLabels, rungLabels)
+      s"${rungLabels.mkString(",")} to the NN-descent K ladder " +
+      s"(first rung $kRung0, work budget ${workBudget.toLong})")
+
+    val exactPart: List[DataFrame] =
+      if (exactLabels.isEmpty) Nil
+      else List(exactLabelGraph(
+        e.filter(col("label").isin(exactLabels: _*)), k))
+    // rungBuilds(i) = (pending set P_i, NN-descent graph over P_i at
+    // rung i). P_{i+1} ⊆ P_i (only still-failing labels climb), so a
+    // label's edges come from the LAST build containing it: build i's
+    // effective labels are P_i \ P_{i+1} (its passers), the final
+    // build keeps its whole pending set (passed or best-so-far).
+    var rungBuilds = Vector.empty[(Seq[Long], DataFrame)]
+    def spliceAll(): DataFrame = {
+      // labels never rebuilt keep their round-1 edges: everything
+      // outside failing0, plus rung labels if the ladder never fired
+      val redone: Set[Long] = exactLabels.toSet ++
+        (if (rungBuilds.nonEmpty) rungLabels.toSet else Set.empty[Long])
+      val keep = g0.join(labelOf, "vec_id")
+        .filter(!col("label").isin(redone.toSeq: _*))
+        .select("vec_id", "rank", "neighbor_id", "cosine")
+      val rungParts = rungBuilds.zipWithIndex.toList.map { case ((ls, b), i) =>
+        val eff =
+          if (i == rungBuilds.size - 1) ls.toSet
+          else ls.toSet -- rungBuilds(i + 1)._1.toSet
+        if (eff == ls.toSet) b
+        else b.join(labelOf, "vec_id")
+          .filter(col("label").isin(eff.toSeq: _*))
+          .select("vec_id", "rank", "neighbor_id", "cosine")
+      }
+      (keep +: (exactPart ++ rungParts)).reduce(_.union(_))
+    }
+
+    var kCur = kInt
+    var pending = rungLabels
+    var workSpent = 0.0
+    var rungsTried = List.empty[Int]
+    var exhausted = false
+    var lastProbe: Option[Map[Long, (Long, Long)]] = None
+    while (pending.nonEmpty && !exhausted) {
+      kCur = nextKRung(kCur)
+      val cost = pending.map(l => ns(l).toDouble * kCur * kCur).sum
+      if (workSpent + cost > workBudget) {
+        exhausted = true
+        System.err.println(s"[graft] knn_graph escalation ladder " +
+          s"STOPPED: next rung kInternal=$kCur on labels " +
+          s"${pending.mkString(",")} would cost ${cost.toLong} " +
+          s"(spent ${workSpent.toLong} of ${workBudget.toLong}) — " +
+          "returning the best graph so far; raise " +
+          "SPARK_GRAFT_RUNG_WORK_FACTOR to climb further")
+      } else {
+        workSpent += cost
+        rungsTried :+= kCur
+        System.err.println(s"[graft] knn_graph escalation: NN-descent " +
+          s"rung kInternal=$kCur on labels ${pending.mkString(",")} " +
+          s"(work ${workSpent.toLong} / ${workBudget.toLong})")
+        rungBuilds = rungBuilds :+ ((pending, NnDescent.knnGraph(
+          e.filter(col("label").isin(pending: _*)), k, kCur)))
+        val probeNow = recallByLabel(spliceAll())
+        lastProbe = Some(probeNow)
+        pending = failingOf(probeNow).filter(pending.contains)
+      }
+    }
+    // the splice is deterministic over checkpointed parts, so the
+    // loop's last probe (when the ladder fired) measures exactly this
+    // final graph — don't pay the probe join twice
+    val g = spliceAll().localCheckpoint()
+    val probe = lastProbe.getOrElse(recallByLabel(g))
+    val r1 = overall(probe)
+    val info = EscalationInfo(kInt, kRung0, r0, r1,
+      failing0, exactLabels, rungLabels, rungsTried, exhausted)
     System.err.println(f"[graft] knn_graph escalation result: recall " +
-      f"$r0%.4f -> $r1%.4f" +
+      f"$r0%.4f -> $r1%.4f (rungs ${rungsTried.mkString(",")})" +
       (if (r1 < recallTarget) " — STILL BELOW TARGET (the downstream " +
-        "recall gate will fail; raise kInternal or the fallback budget)"
+        "recall gate will fail; raise kInternal, the fallback budget " +
+        "or the rung work factor)"
        else ""))
-    GraphResult(g1, Some(samp.select("vec_id", "neighbor_id")), Some(info))
+    GraphResult(g, Some(samp.select("vec_id", "neighbor_id")), Some(info),
+      mod)
   }
+
+  /** Target vectors per quantizer cell for the unlabeled-corpus
+    * blocking mode — the mean label-block size the auto-K law is
+    * calibrated against (20k ⇒ kCell ≈ 39, the measured-0.96 sf10
+    * anchor).
+    */
+  def knnBlockSize: Long =
+    sys.env.get("SPARK_GRAFT_KNN_BLOCK_SIZE").map(_.toLong)
+      .getOrElse(20000L)
+
+  /** D54 for UNLABELED corpora (round-15 item 4): a real 100 TB
+    * embedding corpus often has no bounded class dimension, so the
+    * within-label blocking that makes every other knn_graph stage
+    * bounded has nothing to block on. This mode derives the blocks
+    * from the data: the D7b IVF KMeans coarse quantizer
+    * ([[Ivf.quantizer]], deterministic seed) yields
+    * nlist = ⌈n / targetBlock⌉ centroids, every vector is assigned to
+    * its TOP-2 cells (multi-probe — the classic IVF boundary fix: two
+    * vectors near a cell wall share at least one cell whenever either
+    * ranks the other's cell in its top 2), and NN-descent runs
+    * within-cell over the doubled membership at the auto-K of the
+    * mean cell size. Per-vector lists from both copies merge by a
+    * bounded top-k aggregate.
+    *
+    * The GUARD stays global truth: the probe compares against the
+    * exact graph under the TRUE label column (global on a labels=1
+    * corpus) restricted to the fixed-count 1-in-mod sample — NEVER
+    * against a within-cell "truth" that would replicate the
+    * approximation (the round-9 self-consistency sin). A quantized
+    * graph probing below target escalates LOUDLY to the unblocked
+    * proven construction ([[graphTopKEscalating]] on the original
+    * corpus — never worse than not having quantized), reusing the
+    * checkpointed probe sample. Isotropic geometry defeats ANY
+    * spatial blocking (the NnDescent scaladoc's 0.30-0.50 k-means
+    * measurement) — on such corpora this mode measures, reports and
+    * falls back; on clustered/duplicate-dense corpora (every real
+    * family measured) the cells are real and the per-cell state is
+    * bounded at 100 TB where a single NN-descent block's per-round
+    * global shuffles are not.
+    *
+    * Cost model honesty: the K-law is logarithmic, so blocking buys
+    * little raw compute (2 copies × kCell² ≈ K_global² at these
+    * shapes) — what it buys at scale is BOUNDED per-cell shuffle
+    * state, embarrassing cross-cell parallelism, straggler isolation,
+    * and cells small enough for the exact fallback budget.
+    */
+  def graphTopKQuantized(e: DataFrame, k: Int, budget: Long = 20000000L,
+      recallTarget: Double = 0.9, sampleMod: Long = 0L,
+      targetBlock: Long = 0L): GraphResult = {
+    val ns = e.groupBy("label").agg(count(lit(1)).as("n")).take(10001)
+      .map(r => r.getAs[Number]("label").longValue() -> r.getAs[Long]("n"))
+      .toMap
+    val spent = ns.valuesIterator.map(n => n * (n - 1L)).sum
+    val mod = if (sampleMod > 0L) sampleMod else autoSampleMod(spent)
+    if (spent <= budget)
+      return GraphResult(exactLabelGraph(e, k), None, None, mod)
+    val n = ns.valuesIterator.sum
+    val tb = if (targetBlock > 0L) targetBlock else knnBlockSize
+    val nlist = math.ceil(n.toDouble / tb).toInt
+    if (nlist < 2) {
+      System.err.println(s"[graft] knn_graph quantize: n=$n under 2x " +
+        s"target block $tb — blocking buys nothing, dispatching to the " +
+        "label-blocked construction")
+      return graphTopKEscalating(e, k, budget, 0, recallTarget, sampleMod)
+    }
+    require(nlist <= 10000,
+      s"knn_graph quantize: nlist=$nlist cells — raise the target " +
+        "block size (SPARK_GRAFT_KNN_BLOCK_SIZE) to keep the centroid " +
+        "broadcast bounded")
+    val spark = e.sparkSession
+    import spark.implicits._
+    System.err.println(s"[graft] knn_graph quantize: n=$n -> $nlist " +
+      s"KMeans cells (target block $tb), top-2 multi-probe assignment")
+    val centers = Ivf.quantizer(e, nlist)
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toSeq.toDF("cell", "center")
+    // top-2 cells per vector: nlist cosines per vector scan-side, a
+    // bounded-heap top-2 per vec_id (map-side partials keep the wire
+    // at 2 rows/vector — the n x nlist scored mass never shuffles)
+    val top2 = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centersDf))
+      .select(col("vec_id"), col("cell"),
+        VectorOps.cosine(col("embedding"), col("center")).as("c_cos"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topK(col("cell"), col("c_cos"), 2)
+        .as("cells"))
+      .select(col("vec_id"), posexplode(col("cells")).as(Seq("pos", "ce")))
+      .select(col("vec_id"), col("pos"), col("ce.payload").as("cell"))
+    // doubled membership under synthetic ids (2*id / 2*id+1 — a vector
+    // has at most one primary and one secondary copy, so ids stay
+    // unique and NnDescent's per-label machinery applies unchanged)
+    val ePrime = top2.join(e.select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .select((col("vec_id") * 2 + col("pos")).as("vec_id"),
+        col("cell").as("label"), col("embedding"))
+    val kCell = autoKInternal(2.0 * n / nlist)
+    val gCell = NnDescent.knnGraph(ePrime, k, kCell)
+    // merge the two copies' lists back onto original ids: collapse
+    // synthetic ids, drop self-pairs (a vector meeting its own other
+    // copy) and cross-copy duplicates, re-top-k per vector on the
+    // RECOMPUTED unrounded cosine — the cell graphs emit 4 dp-rounded
+    // scores (the knnGraph output contract) and re-ranking on rounded
+    // values flips 4 dp ties against the exact twin's order; the
+    // recompute is ≤ 2k candidate cosines per vector
+    val cand = gCell
+      .select(shiftright(col("vec_id"), 1).as("vec_id"),
+        shiftright(col("neighbor_id"), 1).as("neighbor_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val merged = cand
+      .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("b_emb")), "neighbor_id")
+      .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topK(
+        col("neighbor_id"), col("cos"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.payload").as("neighbor_id"),
+        round(col("e.score"), 4).as("cosine"))
+      .localCheckpoint()
+    // global-truth probe at the fixed-count modulus
+    val qf = pmod(col("vec_id"), lit(mod)) === 0L
+    val samp = exactLabelGraph(e, k, Some(qf))
+      .select("vec_id", "neighbor_id")
+      .localCheckpoint()
+    val nSamp = samp.count()
+    val nHit = if (nSamp == 0L) 0L
+      else samp.join(merged.select("vec_id", "neighbor_id"),
+        Seq("vec_id", "neighbor_id"), "left_semi").count()
+    val rec = if (nSamp == 0L) 1.0 else nHit.toDouble / nSamp
+    if (rec >= recallTarget) {
+      System.err.println(f"[graft] knn_graph quantize: sampled recall " +
+        f"$rec%.4f >= $recallTarget%.2f — quantized graph accepted")
+      return GraphResult(merged, Some(samp), None, mod,
+        Some(QuantizeInfo(nlist, kCell, rec, escalatedToGlobal = false)))
+    }
+    System.err.println(f"[graft] knn_graph quantize: sampled recall " +
+      f"$rec%.4f < $recallTarget%.2f — the quantizer's cells do not " +
+      "capture this corpus's neighbor structure (isotropic geometry " +
+      "defeats spatial blocking); escalating to the UNBLOCKED proven " +
+      "construction")
+    val res = graphTopKEscalating(e, k, budget, 0, recallTarget,
+      sampleMod = mod, preSample = Some(samp))
+    res.copy(quantize =
+      Some(QuantizeInfo(nlist, kCell, rec, escalatedToGlobal = true)))
+  }
+
+  /** The knn_graph entry's mode switch (round-15 item 4):
+    * SPARK_GRAFT_KNN_BLOCKING = `label` (default — the proven
+    * label-blocked dispatcher, byte-identical to round 14) | `auto`
+    * (quantize ONLY when the corpus has no usable class dimension,
+    * i.e. ≤ 1 distinct label) | `quantize` (force the quantizer —
+    * calibration/spec dial). Unknown values fail loudly.
+    */
+  def graphTopKDispatch(e: DataFrame, k: Int): GraphResult =
+    sys.env.getOrElse("SPARK_GRAFT_KNN_BLOCKING", "label") match {
+      case "label" => graphTopKEscalating(e, k)
+      case "auto" =>
+        if (e.select("label").distinct().take(2).length <= 1) {
+          System.err.println("[graft] knn_graph: <=1 distinct label " +
+            "under SPARK_GRAFT_KNN_BLOCKING=auto — deriving blocks " +
+            "from the IVF coarse quantizer")
+          graphTopKQuantized(e, k)
+        } else graphTopKEscalating(e, k)
+      case "quantize" => graphTopKQuantized(e, k)
+      case other => sys.error(s"SPARK_GRAFT_KNN_BLOCKING=$other: " +
+        "expected label|auto|quantize")
+    }
 
   /** Auto-scaled NN-descent list width (round-10 verdict item 1).
     * At FIXED kInternal = 30 the measured recall@3 declines with the
@@ -414,9 +738,13 @@ object Knn {
     "knn_graph" -> QueryDef(
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        val res = graphTopKEscalating(e, 3)
+        val res = graphTopKDispatch(e, 3)
         val g = res.graph
-        val qf = pmod(col("vec_id"), lit(100L)) === 0L
+        // round 15: fixed-COUNT sample — the modulus is derived from
+        // the probe-mass budget (sampleModUsed; 100 at every proven SF
+        // through sf100 shape, scaling past it), and the oracle's `sm`
+        // CTE replicates the derivation bit-for-bit
+        val qf = pmod(col("vec_id"), lit(res.sampleModUsed)) === 0L
         val exactSample = res.probeSample.getOrElse(
           exactLabelGraph(e, 3, Some(qf))
             .select("vec_id", "neighbor_id"))
@@ -432,11 +760,17 @@ object Knn {
               .as("recall_ok"))
         stats.crossJoin(rec)
       },
-      """SELECT (SELECT count(*) FROM embeddings) AS n_vertices,
-                3 * (SELECT count(*) FROM embeddings) AS n_edges,
-                3 * (SELECT count(*) FROM embeddings
-                     WHERE vec_id % 100 = 0) AS n_exact_sample,
-                true AS recall_ok"""),
+      s"""WITH lm AS (SELECT label, count(*) AS n FROM embeddings
+                      GROUP BY label),
+             sm AS (SELECT greatest(100, CAST(ceil(
+                      sum(n * (n - 1)) / ${probeMassBudget}.0) AS BIGINT))
+                      AS m FROM lm)
+          SELECT (SELECT count(*) FROM embeddings) AS n_vertices,
+                 3 * (SELECT count(*) FROM embeddings) AS n_edges,
+                 3 * (SELECT count(*) FROM embeddings
+                      WHERE vec_id % (SELECT m FROM sm) = 0)
+                   AS n_exact_sample,
+                 true AS recall_ok"""),
 
     // D54b — triple-level exactness twin of the graph machinery: the
     // EXACT within-label top-3 graph on the deterministic 1-in-20

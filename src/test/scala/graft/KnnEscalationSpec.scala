@@ -105,4 +105,63 @@ class KnnEscalationSpec extends AnyFunSuite {
     assert(Knn.nextKRung(48) == 64)
     assert(Knn.nextKRung(3) == 4)
   }
+
+  test("the escalation ladder LOOPS rungs until the probe heals (round 15)") {
+    // one 30-vector noise block: kInternal=3 probes far below target;
+    // each rung climbs x4/3 (4, 6, 8, 11, 15, ...) and by kInternal
+    // >= 29 the ring init is a complete graph — the ladder MUST reach
+    // target recall within the generous work budget. Proves the loop
+    // fires more than one rung (the round-14 code gave up after one).
+    val e = df(block(0L, 30, 1))
+    val res = Knn.graphTopKEscalating(e, 3, budget = 0L, kInternal = 3,
+      recallTarget = 0.95, sampleMod = 1L, fallbackBudget = 0L,
+      rungFactor = 2000.0)
+    val info = res.escalation.getOrElse(fail("noise block must escalate"))
+    assert(info.rungsTried.length >= 2,
+      s"ladder must climb past the first rung, tried ${info.rungsTried}")
+    assert(!info.budgetExhausted, "generous budget must not exhaust")
+    assert(info.finalRecall >= 0.95,
+      s"ladder must heal to target, got ${info.finalRecall}")
+    assert(info.rungsTried ==
+      Iterator.iterate(3)(Knn.nextKRung).drop(1)
+        .take(info.rungsTried.length).toList,
+      "fired rungs must follow the x4/3 ladder from the initial width")
+    val offK = res.graph.groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 3).count()
+    assert(offK == 0L, "every vector must emit exactly 3 edges after " +
+      "the repeated splice")
+  }
+
+  test("an exhausted rung budget stops the ladder loudly with the round-1 graph intact") {
+    val e = df(block(0L, 200, 1))
+    val res = Knn.graphTopKEscalating(e, 3, budget = 0L, kInternal = 3,
+      recallTarget = 0.95, sampleMod = 1L, fallbackBudget = 0L,
+      rungFactor = 0.01) // budget 18 < first rung cost 200*16
+    val info = res.escalation.getOrElse(fail("noise block must escalate"))
+    assert(info.budgetExhausted && info.rungsTried.isEmpty,
+      s"budget 0.01x must refuse even the first rung, got ${info.rungsTried}")
+    assert(info.finalRecall < 0.95, "the loud below-target return")
+    // with zero rungs fired the splice must keep the round-1 edges
+    assert(pairSet(res.graph) ==
+      pairSet(graft.similarity.NnDescent.knnGraph(e, 3, 3)),
+      "unhealed block must keep its round-1 NN-descent edges")
+  }
+
+  test("autoSampleMod is fixed-count: floors at 100, scales with pair mass") {
+    assert(Knn.autoSampleMod(0L, 5000000000L) == 100L)
+    // sf100 shape (2 x 218k blocks, spent ~9.5e10): mod stays the
+    // historical 100 — every committed gate row is unchanged
+    assert(Knn.autoSampleMod(95000000000L, 5000000000L) == 100L)
+    // one decade up the mod scales so the probe mass stays at budget
+    assert(Knn.autoSampleMod(9500000000000L, 5000000000L) == 1900L)
+    val spent = 123456789012345L
+    val m = Knn.autoSampleMod(spent, 5000000000L)
+    assert(spent / m <= 5000000000L, "probe mass must stay under budget")
+  }
+
+  test("GraphResult carries the derived modulus on both dispatch branches") {
+    val small = df(block(0L, 50, 1))
+    assert(Knn.graphTopKEscalating(small, 3).sampleModUsed == 100L,
+      "spec-scale corpora derive the historical mod 100")
+  }
 }
