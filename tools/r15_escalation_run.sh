@@ -16,7 +16,7 @@ export SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=32 \
        SPARK_GRAFT_MAXPART=16m
 rm -rf data/verify_sf100d1_r15
 T0=$(date +%s)
-tools/run_main.sh graft.Verify data/sf100d1 data/verify_sf100d1_r15 \
+tools/run_main_snapshot.sh graft.Verify data/sf100d1 data/verify_sf100d1_r15 \
   knn_graph > /tmp/r15_sf100d1_verify.log 2>&1
 T1=$(date +%s)
 echo "=== verify wall: $((T1-T0)) s"
