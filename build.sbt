@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // HotSpot never JIT-compiles methods over 8000 bytecodes
+  // (DontCompileHugeMethods, on by default) while Spark's default
+  // spark.sql.codegen.hugeMethodLimit (65535) happily emits bigger
+  // ones, so wide generated projections run INTERPRETED for every row
+  // of a one-shot stage. Measured round 15 at sf0.1: the nested-doc
+  // projection stage 59.3 -> 14.4 executor-CPU-s and the dlq encode
+  // stage 184 -> 31 with this flag. A JVM-level property of any host
+  // running Spark codegen, not a local-mode tune.
+  "-XX:-DontCompileHugeMethods",
 )

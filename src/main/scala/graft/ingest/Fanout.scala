@@ -106,26 +106,34 @@ object SyntheticOrders {
     * entries (A1, A3–A6, C16) and Verify/Bench run them back-to-back in
     * one session — without memoization the collect_list aggregation
     * re-executes for every entry (and for every bench repetition).
-    * Cache the MATERIALIZED frame: persist() makes the first action pay
-    * the build and later consumers read executor-local blocks.
+    * Memoize the MATERIALIZED frame via eager `localCheckpoint`: the
+    * first caller pays the build and later consumers read
+    * executor-local UnsafeRow blocks.
+    *
+    * localCheckpoint, NOT `.persist(MEMORY_AND_DISK)` (round-15 §1
+    * measurement): the columnar InMemoryRelation converts every
+    * array<struct> document value into column-by-column cache batches —
+    * measured at sf0.1 the cache WRITE alone cost ~40 executor-CPU-s on
+    * a ~4-CPU-s build, and every cached READ paid a ColumnarToRow
+    * reconstruction ~10× a parquet scan of the same rows. The RDD-level
+    * checkpoint stores the rows as-is (no conversion either way) and
+    * keeps the build's partition layout, so the document frame's
+    * downstream CPU-heavy consumers (wire encode, fan-outs) stay wide.
     *
     * A SINGLE slot, not a map: the drivers (Verify, Bench, one shared
     * test session) work one (session, sfDir) at a time, and an
     * unbounded strong-ref map would pin stopped sessions and their
-    * persisted blocks forever. On a key change the previous frame is
-    * unpersisted (best-effort — its session may already be stopped).
+    * checkpointed blocks forever. On a key change the previous frame's
+    * blocks are reclaimed by the ContextCleaner once the memo drops the
+    * last reference (the sessions run with a periodic-GC interval).
     */
   @volatile private var memo: Option[((SparkSession, String), DataFrame)] = None
 
   def nested(s: SparkSession, d: String): DataFrame = synchronized {
     memo match {
       case Some(((`s`, `d`), df)) => df
-      case prev =>
-        prev.foreach { case (_, old) =>
-          try old.unpersist(blocking = false) catch { case _: Throwable => () }
-        }
-        val df = build(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ =>
+        val df = build(s, d).localCheckpoint(true)
         memo = Some(((s, d), df))
         df
     }
@@ -143,12 +151,13 @@ object SyntheticOrders {
   def wire(s: SparkSession, d: String): DataFrame = synchronized {
     wireMemo match {
       case Some(((`s`, `d`), df)) => df
-      case prev =>
-        prev.foreach { case (_, old) =>
-          try old.unpersist(blocking = false) catch { case _: Throwable => () }
-        }
-        val df = EventCodec.encode(nested(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ =>
+        // localCheckpoint for the same reason as [[nested]]: the wire
+        // frame is one long base64 string per row, and the columnar
+        // cache's string-column building + per-read reconstruction
+        // dwarfed the encode itself (measured ~20+ CPU-s per cached
+        // consumer pass at sf0.1 vs ~3 CPU-s for the whole encode)
+        val df = EventCodec.encode(nested(s, d)).localCheckpoint(true)
         wireMemo = Some(((s, d), df))
         df
     }

@@ -397,7 +397,21 @@ object IngestQueries {
       if (!valid) {
         val base = Tables.scratchDir(s, d, "glue4")
         val nested = SyntheticOrders.nested(s, d)
-        val isoTs = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+        // Partition keys derived ONCE PER ORDER on the compact document
+        // frame, not per exploded line item (round-15 guide §2.3
+        // "project early": the old per-row
+        // to_timestamp(regexp_replace(...))→date_format chain on the
+        // exploded product frame was measured at ~40 executor-CPU-s of
+        // the build — 4× the explode itself). order_date is the
+        // producer's fixed-format ISO string "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        // by construction (SyntheticOrders.build date_format), so the
+        // zero-padded year/month partition values are substrings — no
+        // timestamp parse. Values are bit-identical to the old
+        // date_format derivation (both zero-pad), proven by the
+        // catalog_join/catalog_roundtrip oracle hashes.
+        val keyed = nested
+          .withColumn("year", substring(col("order_date"), 1, 4))
+          .withColumn("month", substring(col("order_date"), 6, 2))
         def register(name: String, df: org.apache.spark.sql.DataFrame,
             path: String, partitionCols: Seq[String],
             clusterCols: Seq[String] = Nil): Unit = {
@@ -412,26 +426,28 @@ object IngestQueries {
             s"LOCATION '$path'")
           s.sql(s"MSCK REPAIR TABLE $name")
         }
-        register("graft_cat_orders",
-          Fanout.withPartitionKeys(Fanout.orders(nested), col("order_date"))
-            .select("order_id", "customer_id", "order_date", "status",
-              "year", "month"),
-          base + "/orders", Seq("year", "month"), Seq("customer_id"))
-        register("graft_cat_product_details",
-          Fanout.withPartitionKeys(
-            Fanout.productDetails(nested, passthrough = Seq("order_date")),
-            isoTs).drop("order_date", "day", "hour"),
-          base + "/product_details", Seq("year", "month"))
-        register("graft_cat_purchase_details",
-          Fanout.withPartitionKeys(
-            Fanout.purchaseDetails(nested, passthrough = Seq("order_date")),
-            isoTs).drop("order_date", "day", "hour"),
-          base + "/purchase_details", Seq("year", "month"))
-        register("graft_cat_shipping_addresses",
-          Fanout.withPartitionKeys(
-            Fanout.shippingAddresses(nested, passthrough = Seq("order_date")),
-            isoTs).drop("order_date", "day", "hour"),
-          base + "/shipping_addresses", Seq("country", "year", "month"))
+        val registrations: Seq[() => Unit] = Seq(
+          () => register("graft_cat_orders",
+            Fanout.withPartitionKeys(Fanout.orders(nested), col("order_date"))
+              .select("order_id", "customer_id", "order_date", "status",
+                "year", "month"),
+            base + "/orders", Seq("year", "month"), Seq("customer_id")),
+          () => register("graft_cat_product_details",
+            Fanout.productDetails(keyed, passthrough = Seq("year", "month")),
+            base + "/product_details", Seq("year", "month")),
+          () => register("graft_cat_purchase_details",
+            Fanout.purchaseDetails(keyed, passthrough = Seq("year", "month")),
+            base + "/purchase_details", Seq("year", "month")),
+          () => register("graft_cat_shipping_addresses",
+            Fanout.shippingAddresses(keyed, passthrough = Seq("year", "month")),
+            base + "/shipping_addresses", Seq("country", "year", "month")))
+        // Sequential on purpose: overlapping the four write jobs from a
+        // thread pool (guide §2.6) was MEASURED WORSE here — 59→119
+        // executor-CPU-s with no wall win (four distinct cold codegen
+        // classes interpreting concurrently + four rebalance exchanges
+        // contending); the sinks are too short for tail back-fill to
+        // pay on this corpus. Revisit only with profile evidence.
+        registrations.foreach(_())
         catalogMemo.put(s, d)
       }
     }
