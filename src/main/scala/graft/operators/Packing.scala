@@ -45,8 +45,14 @@ object Packing {
     */
   def withGlobalPrefixSums(df: DataFrame, sortCols: Seq[String],
       valueCols: Seq[String], partitions: Int): DataFrame = {
+    // `partitions` is a FLOOR, scaled to the session's parallelism
+    // (round 15): prefix sums and ranks are partition-count-invariant
+    // (total-ordered sortCols), so the width is free to follow the
+    // hardware instead of a constant — see Relational4.withGlobalIndex.
+    val width =
+      math.max(partitions, df.sparkSession.sparkContext.defaultParallelism)
     val ranged = df
-      .repartitionByRange(partitions, sortCols.map(col): _*)
+      .repartitionByRange(width, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val stats = ranged.groupBy("_pid")

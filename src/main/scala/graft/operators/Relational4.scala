@@ -26,12 +26,21 @@ object Relational4 {
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
       partitions: Int): DataFrame = {
+    // `partitions` is a FLOOR, scaled up to the session's parallelism
+    // (round 15, guide §2: a constant width tuned for one mode leaves
+    // a wide cluster's cores idle through the per-partition window
+    // pass). The emitted rank is partition-count-INVARIANT: callers
+    // pass a total order (unique tiebreaker column), so a row's global
+    // rank is its position in that order no matter where the range
+    // boundaries fall — proven by the unchanged oracle hashes.
+    val width =
+      math.max(partitions, df.sparkSession.sparkContext.defaultParallelism)
     // materialize the ranged layout ONCE: RangePartitioner samples its
     // boundaries per-RDD, so evaluating this subtree twice (offset
     // counts + final numbering) could assign the same row to different
     // partitions and corrupt the numbering
     val ranged = df
-      .repartitionByRange(partitions, sortCols.map(col): _*)
+      .repartitionByRange(width, sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
