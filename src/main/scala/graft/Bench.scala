@@ -93,6 +93,11 @@ object Bench {
       // The standard mitigation is a short periodic-GC interval — the
       // same setting a long-lived cluster driver would run with.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // ship -XX:-DontCompileHugeMethods to cluster executors (no-op in
+      // local mode; rationale + hugeMethodLimit rejection measurements
+      // in Verify.scala / OPTIMIZATION_r16.md §3)
+      .config("spark.executor.extraJavaOptions",
+        "-XX:-DontCompileHugeMethods")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet footer caches so the first timed query

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize.CutOps
 
 /** Duplicate-cluster resolution: near-dup PAIRS are not enough — a
   * curation pipeline needs transitive components (a~b, b~c ⇒ {a,b,c})
@@ -30,7 +31,7 @@ object Clusters {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     // seed labels with min(id, min neighbor) — the first propagation
     // round folded into initialization. LAZY checkpoint: the first
     // convergence probe below is the materializing action, so seeding
@@ -38,7 +39,7 @@ object Clusters {
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_mn"))
       .select(col("id"), least(col("id"), col("_mn")).as("label"))
-      .localCheckpoint()
+      .cutLineage()
     // labels only ever DECREASE, so the label sum is strictly monotone:
     // equal sums between rounds ⇔ fixpoint. Decimal accumulator — a
     // 100 TB id space would overflow a long sum.
@@ -71,7 +72,7 @@ object Clusters {
         .union(viaEdges)
         .union(viaPtr)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .cutLineage()
       val newSum = labelSum(next)
       labels = next
       converged = newSum.compareTo(prevSum) == 0
@@ -119,9 +120,9 @@ object Clusters {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .cutLineage()
     // n is a scalar aggregate (node count), not a data collect
     val n = deg.count()
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("score"))
@@ -133,7 +134,7 @@ object Clusters {
       ranks = contrib.groupBy("id").agg(sum("c").as("s"))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * col("s")).as("score"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     ranks
   }
@@ -164,7 +165,7 @@ object Clusters {
         // materialized once: three consumers, and the set is tiny by
         // construction (only above-cap shingles survive)
         val hotAll = Some(Dedup.hotShingles(docs,
-          postingsSet = Some(post)).localCheckpoint(true))
+          postingsSet = Some(post)).cutLineage())
         val baseLabels = connectedComponents(
           Dedup.sharedPairs(s, d)
             .filter(pmod(col("doc_a"), lit(10L)) =!= 0L &&
@@ -184,7 +185,7 @@ object Clusters {
         // and batch shingle joins would re-execute for the filter
         val updateEdges = labelEdges
           .unionByName(crossEdges).unionByName(batchEdges)
-          .localCheckpoint(true)
+          .cutLineage()
         val labels = connectedComponents(updateEdges)
           // label self-edges (singleton base clusters) make their vertex
           // edge-incident even when the full recompute would not emit
@@ -604,7 +605,7 @@ object Clusters {
       (s, d) => {
         val (labels, updateEdges, baseLabels) = ccIncrementalGraph(s, d)
         // consumed by four checks — materialize once
-        val out = labels.localCheckpoint(true)
+        val out = labels.cutLineage()
         val la = out.select(col("doc_id"), col("cluster_rep").as("new_rep"))
         val splitBase = baseLabels
           .select(col("doc_id"), col("cluster_rep").as("base_rep"))

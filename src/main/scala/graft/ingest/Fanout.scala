@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Materialize.CutOps
 
 /** The reference's four Firehose→Lambda fan-out transformations,
   * re-expressed as pure `DataFrame => DataFrame` projections so they
@@ -133,7 +134,7 @@ object SyntheticOrders {
     memo match {
       case Some(((`s`, `d`), df)) => df
       case _ =>
-        val df = build(s, d).localCheckpoint(true)
+        val df = build(s, d).cutLineage()
         memo = Some(((s, d), df))
         df
     }
@@ -157,7 +158,7 @@ object SyntheticOrders {
         // cache's string-column building + per-read reconstruction
         // dwarfed the encode itself (measured ~20+ CPU-s per cached
         // consumer pass at sf0.1 vs ~3 CPU-s for the whole encode)
-        val df = EventCodec.encode(nested(s, d)).localCheckpoint(true)
+        val df = EventCodec.encode(nested(s, d)).cutLineage()
         wireMemo = Some(((s, d), df))
         df
     }

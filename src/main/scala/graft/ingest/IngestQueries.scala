@@ -315,21 +315,34 @@ object IngestQueries {
     // breaks either the counts or the sum.
     "dlq_routing" -> QueryDef(
       (s, d) => {
-        val corruptPick =
-          conv(substring(md5(col("order_id").cast("binary")), 1, 2), 16, 10)
-            .cast("int") % 16 === 0
-        val nested = SyntheticOrders.nested(s, d)
-        val wire = nested
-          .withColumn("data",
-            when(corruptPick, substring(EventCodec.encodeCol(nested), 1, 16))
-              .otherwise(EventCodec.encodeCol(nested)))
-          .select("data")
-        val (good, bad) = EventCodec.decodeWithDlq(wire)
-        good.agg(
-          count(lit(1)).as("n_good"),
-          sum(substring(col("order_id"), 2, 18).cast("long")).as("good_key_sum"))
-          .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
-          .select("n_good", "n_bad", "good_key_sum")
+        // Consume the MEMOIZED corrupted wire landing (the same
+        // producer-side asset the streaming twin reads; Bench times it
+        // as dlq_wire_build) and classify in ONE aggregate pass.
+        // Round-16 rewrite, guide §4.4 / §7.2 "duplicated subtrees":
+        // the previous inline formulation
+        // (encodeCol twice in a when/otherwise, then decodeWithDlq's
+        // filter+project per side) re-evaluated the full
+        // to_json→base64 encode up to 6× and the unbase64→from_json
+        // parse up to 4× PER ROW — the pushed-down isNotNull filter
+        // re-computes the aliased parse expression below the
+        // projection that also computes it (plans/r16/
+        // dlq_routing_before.txt shows the duplicated chains; the
+        // _after plan parses the landed `data` column exactly once).
+        // Measured: 21.1 → ~2 executor-CPU-s at sf0.1/local[32].
+        // Classification semantics are IDENTICAL (same md5-chosen
+        // 1-in-16 truncation, same order_id null sentinel), proven by
+        // the unchanged oracle hash.
+        val parsed = s.read.parquet(SyntheticOrders.dlqWireDir(s, d))
+          .withColumn("_evt",
+            from_json(
+              try_to_binary(col("data"), lit("base64"))
+                .cast(org.apache.spark.sql.types.StringType),
+              EventCodec.orderEventSchema))
+        parsed.agg(
+          count(when(col("_evt.order_id").isNotNull, 1)).as("n_good"),
+          count(when(col("_evt.order_id").isNull, 1)).as("n_bad"),
+          sum(substring(col("_evt.order_id"), 2, 18).cast("long"))
+            .as("good_key_sum"))
       },
       """WITH o AS (
            SELECT concat('o', o_orderkey) AS order_id, o_orderkey

@@ -129,7 +129,7 @@ object Behavior {
         val ranked = Seq(
           ("last_ts", "_r_rank"), ("freq", "_f_rank"), ("monetary", "_m_rank"))
           .foldLeft(rfm) { case (df, (metric, rankCol)) =>
-            Relational4.withGlobalIndex(df, Seq(metric, "user_id"), 8)
+            Relational4.withGlobalIndex(df, Seq(metric, "user_id"))
               .withColumnRenamed("rn", rankCol)
           }
         val n = broadcast(ranked.agg(max("_m_rank").as("_n")))

@@ -32,8 +32,8 @@ object Packing {
     * Callers pass a globally unique sort key.
     */
   def withGlobalOrderStats(df: DataFrame, sortCols: Seq[String],
-      valueCol: String, partitions: Int): DataFrame =
-    withGlobalPrefixSums(df, sortCols, Seq(valueCol), partitions)
+      valueCol: String): DataFrame =
+    withGlobalPrefixSums(df, sortCols, Seq(valueCol))
       .withColumnRenamed(s"prefix_$valueCol", "prefix")
 
   /** Generalization of [[withGlobalOrderStats]] to several long value
@@ -44,17 +44,17 @@ object Packing {
     * #partitions-row driver collect for all offsets.
     */
   def withGlobalPrefixSums(df: DataFrame, sortCols: Seq[String],
-      valueCols: Seq[String], partitions: Int): DataFrame = {
-    // `partitions` is a FLOOR, scaled to the session's parallelism
-    // (round 15): prefix sums and ranks are partition-count-invariant
-    // (total-ordered sortCols), so the width is free to follow the
-    // hardware instead of a constant — see Relational4.withGlobalIndex.
-    val width =
-      math.max(partitions, df.sparkSession.sparkContext.defaultParallelism)
-    val ranged = df
-      .repartitionByRange(width, sortCols.map(col): _*)
+      valueCols: Seq[String]): DataFrame = {
+    // Width follows the DATA via AQE range coalescing (round 16, guide
+    // §2 "scale-adaptive partitioning") — prefix sums and ranks are
+    // partition-count-invariant (total-ordered sortCols), so the layout
+    // is free to follow input size instead of a constant. See
+    // Relational4.withGlobalIndex for the measured small-frame cost of
+    // the round-15 parallelism floor this replaces.
+    val ranged0 = df
+      .repartitionByRange(sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.Materialize.cut(ranged0)
     val stats = ranged.groupBy("_pid")
       .agg(count(lit(1)).as("_pcnt"),
         valueCols.map(c => sum(col(c)).as(s"_pt_$c")): _*)
@@ -114,7 +114,7 @@ object Packing {
           Tables.documents(s, d)
             .withColumn("h", shuffleKey(":shuffle"))
             .select("doc_id", "h"),
-          Seq("h"), 8)
+          Seq("h"))
           .select(col("doc_id"), col("rn").as("shuffle_rank"))
           .orderBy("shuffle_rank"),
       """SELECT doc_id,
@@ -136,7 +136,7 @@ object Packing {
           .withColumn("n_tokens",
             size(split(trim(col("text")), "\\s+")).cast("long"))
           .select("doc_id", "h", "n_tokens")
-        withGlobalOrderStats(docs, Seq("h"), "n_tokens", 8)
+        withGlobalOrderStats(docs, Seq("h"), "n_tokens")
           .withColumn("bin", floor(col("prefix") / 2048).cast("long"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_docs_start"),

@@ -241,7 +241,7 @@ object Profiling {
           .agg(count(when(col("source") === "src0", 1)).as("c0"),
             count(when(col("source") === "src1", 1)).as("c1"))
         val withCum = graft.operators.Packing.withGlobalPrefixSums(
-          perVal, Seq("n_chars"), Seq("c0", "c1"), 8)
+          perVal, Seq("n_chars"), Seq("c0", "c1"))
           .withColumn("cum0", col("prefix_c0") + col("c0"))
           .withColumn("cum1", col("prefix_c1") + col("c1"))
         val tot = withCum.agg(max("cum0").as("n0"), max("cum1").as("n1"))

@@ -24,32 +24,37 @@ object Relational4 {
     * across a range boundary would be numbered nondeterministically —
     * callers pass a unique key.
     */
-  def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
-      partitions: Int): DataFrame = {
-    // `partitions` is a FLOOR, scaled up to the session's parallelism
-    // (round 15, guide §2: a constant width tuned for one mode leaves
-    // a wide cluster's cores idle through the per-partition window
-    // pass). The emitted rank is partition-count-INVARIANT: callers
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    // Width follows the DATA, not a constant (round 16, guide §2
+    // "scale-adaptive partitioning"): repartitionByRange WITHOUT an
+    // explicit count starts from spark.sql.shuffle.partitions and lets
+    // AQE coalesce adjacent ranges down to the advisory partition size.
+    // Round 15 pinned width to max(8, defaultParallelism), which at
+    // local[32] gave every tiny frame 32 range partitions + 32
+    // checkpoint blocks per pass — rfm_segments (3 sequential passes on
+    // a 5k-row frame) measured 3.0 s at 32 cores vs 1.2 s at 8, and
+    // ks_drift 6.1 s vs 0.7 s, pure per-partition fixed cost. AQE
+    // coalescing keeps small frames narrow and big frames wide; range
+    // CONTIGUITY is preserved by coalescing (adjacent partitions merge),
+    // and the emitted rank is partition-count-INVARIANT anyway: callers
     // pass a total order (unique tiebreaker column), so a row's global
     // rank is its position in that order no matter where the range
     // boundaries fall — proven by the unchanged oracle hashes.
-    val width =
-      math.max(partitions, df.sparkSession.sparkContext.defaultParallelism)
     // materialize the ranged layout ONCE: RangePartitioner samples its
     // boundaries per-RDD, so evaluating this subtree twice (offset
     // counts + final numbering) could assign the same row to different
     // partitions and corrupt the numbering
     val ranged = df
-      .repartitionByRange(width, sortCols.map(col): _*)
+      .repartitionByRange(sortCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_c"))
+    val checkpointed = graft.Materialize.cut(ranged)
+    val counts = checkpointed.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
     val wInPart = Window.partitionBy("_pid")
       .orderBy(sortCols.map(c => col(c).asc): _*)
-    ranged
+    checkpointed
       .withColumn("rn",
         row_number().over(wInPart).cast("long") +
           element_at(typedlit(offsets), col("_pid")))
@@ -278,7 +283,7 @@ object Relational4 {
       (s, d) =>
         withGlobalIndex(
           Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
-          Seq("o_orderkey"), partitions = 32)
+          Seq("o_orderkey"))
           .select("o_orderkey", "rn")
           .orderBy("o_orderkey"),
       """SELECT o_orderkey,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashOps, VectorOps}
 import graft.{QueryDef, Tables}
+import graft.Materialize.CutOps
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (SURVEY §2 D6–D7).
@@ -326,7 +327,7 @@ object Knn {
     val samp = preSample.getOrElse(
         exactLabelGraph(e, k, Some(qf)).select("vec_id", "neighbor_id"))
       .join(labelOf, "vec_id")
-      .localCheckpoint()
+      .cutLineage()
     def recallByLabel(g: DataFrame): Map[Long, (Long, Long)] =
       samp.join(
           g.select(col("vec_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -434,7 +435,7 @@ object Knn {
     // the splice is deterministic over checkpointed parts, so the
     // loop's last probe (when the ladder fired) measures exactly this
     // final graph — don't pay the probe join twice
-    val g = spliceAll().localCheckpoint()
+    val g = spliceAll().cutLineage()
     val probe = lastProbe.getOrElse(recallByLabel(g))
     val r1 = overall(probe)
     val info = EscalationInfo(kInt, kRung0, r0, r1,
@@ -570,12 +571,12 @@ object Knn {
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
         col("e.payload").as("neighbor_id"),
         round(col("e.score"), 4).as("cosine"))
-      .localCheckpoint()
+      .cutLineage()
     // global-truth probe at the fixed-count modulus
     val qf = pmod(col("vec_id"), lit(mod)) === 0L
     val samp = exactLabelGraph(e, k, Some(qf))
       .select("vec_id", "neighbor_id")
-      .localCheckpoint()
+      .cutLineage()
     val nSamp = samp.count()
     val nHit = if (nSamp == 0L) 0L
       else samp.join(merged.select("vec_id", "neighbor_id"),

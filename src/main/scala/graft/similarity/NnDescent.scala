@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TopKAgg, VectorOps}
+import graft.Materialize.CutOps
 
 /** NN-descent (Dong, Moses & Li, WWW'11): k-NN GRAPH construction by
   * iterative neighborhood refinement — "a neighbor of a neighbor is
@@ -132,7 +133,7 @@ object NnDescent {
     // frame that owns the blocks); edges is its stat-detached wrapper
     // over the same materialized RDD
     var edgesCk = score(initPairs).withColumn("fresh", lit(true))
-      .localCheckpoint()
+      .cutLineage()
     var edges = detachStats(edgesCk)
 
     val wTop = Window.partitionBy("src")
@@ -204,7 +205,7 @@ object NnDescent {
         .select(col("src"), explode(col("top")).as("e"))
         .select(col("src"), col("e.payload").as("dst"),
           col("e.score").as("cos"), col("e.fresh").as("fresh"))
-        .localCheckpoint()
+        .cutLineage()
       freshCount = next.filter(col("fresh")).count()
       edgesCk.unpersist(blocking = false)
       edgesCk = next
@@ -226,7 +227,7 @@ object NnDescent {
       .filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("rank"),
         col("dst").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
-      .localCheckpoint()
+      .cutLineage()
     edgesCk.unpersist(blocking = false)
     out
   }

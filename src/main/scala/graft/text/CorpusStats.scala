@@ -354,7 +354,7 @@ object CorpusStats {
       (s, d) => {
         val ranked = graft.operators.Packing.withGlobalOrderStats(
           Tables.documents(s, d).select("source", "n_chars", "doc_id"),
-          Seq("source", "n_chars", "doc_id"), "n_chars", 32)
+          Seq("source", "n_chars", "doc_id"), "n_chars")
         val minrn = ranked.groupBy(col("source").as("_src"))
           .agg(min("rn").as("_min_rn"))
         val agg = ranked

@@ -378,7 +378,7 @@ object Curate {
           .withColumn("tok", col("n_tokens").cast("long"))
           .select("doc_id", "n_tokens", "h", "tok")
         graft.operators.Packing
-          .withGlobalOrderStats(kept, Seq("h"), "tok", 8)
+          .withGlobalOrderStats(kept, Seq("h"), "tok")
           .select(col("doc_id"), col("n_tokens"),
             col("rn").as("shuffle_rank"),
             floor(col("prefix") / 2048).cast("long").as("bin"))

@@ -169,7 +169,7 @@ object Retrieval {
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .withColumn("n_tok", size(col("t")).cast("long"))
         val ranked = graft.operators.Packing
-          .withGlobalOrderStats(base, Seq("doc_id"), "n_tok", 32)
+          .withGlobalOrderStats(base, Seq("doc_id"), "n_tok")
         val cps = ranked.agg(max("rn").as("n"))
           .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n"))
           .select(col("decile").cast("long").as("decile"),

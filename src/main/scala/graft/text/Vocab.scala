@@ -109,7 +109,7 @@ object Vocab {
           .groupBy("term").agg(count(lit(1)).as("c"))
         val ranked = graft.operators.Packing.withGlobalOrderStats(
           counts.withColumn("_negc", -col("c")),
-          Seq("_negc", "term"), "c", 8)
+          Seq("_negc", "term"), "c")
           .withColumn("cum", col("prefix") + col("c"))
         // the total is the LAST cumulative value — deriving it as
         // max(cum) avoids a second full token scan of the corpus

@@ -27,7 +27,7 @@ class OrderStatsSpec extends AnyFunSuite {
   test("withGlobalIndex equals global row_number across sizes") {
     for (n <- Seq(1, 5, 97, 1000)) {
       val df = randomRows(n)
-      val got = Relational4.withGlobalIndex(df, Seq("v", "k"), 5)
+      val got = Relational4.withGlobalIndex(df, Seq("v", "k"))
         .select("k", "rn")
       val want = df.withColumn("rn",
         row_number().over(Window.orderBy("v", "k")).cast("long"))
@@ -39,7 +39,7 @@ class OrderStatsSpec extends AnyFunSuite {
 
   test("withGlobalOrderStats prefix equals exclusive window prefix sum") {
     val df = randomRows(500).withColumn("w", (col("v") % 13).cast("long"))
-    val got = Packing.withGlobalOrderStats(df, Seq("v", "k"), "w", 5)
+    val got = Packing.withGlobalOrderStats(df, Seq("v", "k"), "w")
       .select("k", "rn", "prefix")
     val base = Window.orderBy("v", "k")
     val want = df
@@ -57,7 +57,7 @@ class OrderStatsSpec extends AnyFunSuite {
       .withColumn("w1", (col("v") % 7).cast("long"))
       .withColumn("w2", (col("v") % 11).cast("long"))
     val got = Packing.withGlobalPrefixSums(df, Seq("v", "k"),
-      Seq("w1", "w2"), 5).select("k", "prefix_w1", "prefix_w2")
+      Seq("w1", "w2")).select("k", "prefix_w1", "prefix_w2")
     val base = Window.orderBy("v", "k")
       .rowsBetween(Window.unboundedPreceding, -1)
     val want = df
@@ -72,7 +72,7 @@ class OrderStatsSpec extends AnyFunSuite {
     // n % k != 0 (ragged), n == k, n < k (rank = bucket), k = 1
     for ((n, k) <- Seq((64, 5), (65, 5), (5, 5), (3, 5), (100, 7), (10, 1))) {
       val df = randomRows(n)
-      val ranked = Relational4.withGlobalIndex(df, Seq("v", "k"), 4)
+      val ranked = Relational4.withGlobalIndex(df, Seq("v", "k"))
         .crossJoin(broadcast(
           randomRows(n).agg(count(lit(1)).as("_n"))))
       val got = ranked
