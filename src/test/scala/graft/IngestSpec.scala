@@ -30,6 +30,28 @@ class IngestSpec extends AnyFunSuite {
     assert(out.filter(col("order_id").isNull).count() == 2)
   }
 
+  test("order_date stays in the fixed ISO form the catalog's substring keys assume") {
+    // round-15 advice item: IngestQueries.catalogTables derives the
+    // year/month partition values as substring(order_date, 1, 4) /
+    // (6, 2), which silently couples to SyntheticOrders.build's
+    // "yyyy-MM-dd'T'HH:mm:ss'Z'" format — a producer format change
+    // would emit WRONG partition values with no error. This assertion
+    // is the cheap format gate: every produced order_date must match
+    // the fixed-width pattern, and the substring-derived keys must
+    // equal the date_format derivation they replaced.
+    val nested = SyntheticOrders.nested(spark, sf)
+    assert(nested.filter(
+      !col("order_date").rlike(
+        "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$")).count() == 0,
+      "order_date left the producer's fixed ISO format")
+    val ts = to_timestamp(regexp_replace(col("order_date"), "Z$", ""))
+    assert(nested.filter(
+      substring(col("order_date"), 1, 4) =!= date_format(ts, "yyyy") ||
+        substring(col("order_date"), 6, 2) =!= date_format(ts, "MM"))
+      .count() == 0,
+      "substring partition keys diverged from the date_format derivation")
+  }
+
   test("productDetails explode count equals sum of array sizes") {
     val nested = SyntheticOrders.nested(spark, sf)
     val expected = nested.agg(sum(size(col("product_details")))).head.getLong(0)
