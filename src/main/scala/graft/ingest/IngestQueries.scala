@@ -328,7 +328,8 @@ object IngestQueries {
         // projection that also computes it (plans/r16/
         // dlq_routing_before.txt shows the duplicated chains; the
         // _after plan parses the landed `data` column exactly once).
-        // Measured: 21.1 → ~2 executor-CPU-s at sf0.1/local[32].
+        // Measured: 21.1 → 12.8 executor-CPU-s at sf0.1/local[32]
+        // (cold-codegen floor) and 15.8 → 3.0 at local[8].
         // Classification semantics are IDENTICAL (same md5-chosen
         // 1-in-16 truncation, same order_id null sentinel), proven by
         // the unchanged oracle hash.
